@@ -1,0 +1,792 @@
+"""Pure-NumPy, reference-conformant string kernels (importable WITHOUT Spark).
+
+Re-implements, from the published semantics of ashvardanian/StringZilla
+(v5.0.3), the math of:
+
+* rolling-hash MinHash / Count-Min fingerprints
+  (reference spec: include/stringzillas/fingerprints/serial.hpp:44-51
+  splitmix64; :467-593 floating_rolling_hasher<f64>; :1114-1328 sliced
+  serial core; c/stringzillas/fingerprints.cuh:42-159 width assignment)
+* batched Levenshtein distances with linear or affine gap costs
+  (include/stringzillas/similarities/serial.hpp:1440-1475 empty-string
+  edge, :1135-1186 affine recurrences/boundaries)
+* Needleman-Wunsch global and Smith-Waterman local alignment scores
+  (include/stringzillas/stringzillas.h:339-472)
+* Jaro-Winkler similarity (NOT in the reference — implemented to
+  Winkler 1990, labeled as a pipeline-level extra)
+
+Design note: the reference computes rolling hashes in exact-integer f64
+(every intermediate provably < 2^52, see serial.hpp:489-508 asserts), so
+the identical values are reproducible in uint64 modular arithmetic.  We
+implement the production path in uint64 (vectorized across a batch of
+texts x fingerprint dimensions) and keep an IEEE-faithful f64 mirror for
+conformance testing: the two must agree bit-for-bit.
+
+All kernels are vectorized across the *batch* axis (the reference's
+"candidate lane" design, similarities/serial.hpp:613-693) — the right
+axis when pairs >> cores, and the one that maps onto Arrow record
+batches inside pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# splitmix64 + fingerprint parameter derivation
+# ---------------------------------------------------------------------------
+
+#: Default MinHash window widths (c/stringzillas/fingerprints.cuh:42).
+DEFAULT_WINDOW_WIDTHS: tuple[int, ...] = (3, 4, 5, 7, 9, 11, 15, 31)
+
+#: Base modulo for the f64 rolling hasher (fingerprints/serial.hpp:474).
+MODULO_BASE = 4_503_599_626_977
+
+#: Dimensions per sliced hasher block (c/stringzillas/stringzillas.cuh:771).
+FINGERPRINT_SLICE = 64
+
+#: Sentinel exported for texts shorter than the window width
+#: (fingerprints/serial.hpp:1183-1184, 1276-1286).
+MAX_HASH_U32 = 0xFFFFFFFF
+
+_U64 = np.uint64
+
+
+def splitmix64(state):
+    """Vectorized splitmix64 (fingerprints/serial.hpp:44-51 semantics).
+
+    Accepts an int or ndarray; returns uint64 of the same shape.
+    """
+    z = np.asarray(state, dtype=_U64) + _U64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def dim_window_widths(ndim: int, widths: Sequence[int] | None = None) -> np.ndarray:
+    """Window width per fingerprint dimension.
+
+    Mirrors the engine-selection rule of c/stringzillas/fingerprints.cuh:
+    when ``ndim`` splits evenly into 64-dim blocks per width the "sliced"
+    engine assigns ``widths[block % len(widths)]`` per 64-dim block
+    (:56,:63-74); otherwise the fallback engine interleaves per dimension
+    ``widths[dim % len(widths)]`` (:154-159).
+    """
+    widths = tuple(widths) if widths else DEFAULT_WINDOW_WIDTHS
+    n_w = len(widths)
+    w_arr = np.asarray(widths, dtype=np.int64)
+    per_width = ndim // n_w
+    sliced = (ndim % n_w == 0) and (per_width % FINGERPRINT_SLICE == 0)
+    dims = np.arange(ndim, dtype=np.int64)
+    if sliced:
+        return w_arr[(dims // FINGERPRINT_SLICE) % n_w]
+    return w_arr[dims % n_w]
+
+
+class FingerprintParams:
+    """Per-dimension rolling-hash parameters (fingerprints/serial.hpp:555-567).
+
+    multiplier[d] = 256 + splitmix64(seed+d) % 384          (in [256, 640))
+    modulo[d]     = 4503599626977 - splitmix64(splitmix64(seed+d)) % 2^20
+    disc[d]       = (modulo - multiplier^width mod modulo) mod modulo
+                    — the non-negative complement folding both the head
+                    removal and the shift into one fused update
+                    (serial.hpp:497-506).
+    """
+
+    __slots__ = ("ndim", "seed", "widths", "mult", "mod", "disc")
+
+    def __init__(self, ndim: int, widths: Sequence[int] | None = None, seed: int = 0):
+        self.ndim = ndim
+        self.seed = seed
+        self.widths = dim_window_widths(ndim, widths)
+        dims = np.arange(ndim, dtype=np.uint64) + _U64(seed)
+        s1 = splitmix64(dims)
+        self.mult = _U64(256) + s1 % _U64(384)
+        self.mod = _U64(MODULO_BASE) - splitmix64(s1) % _U64(1 << 20)
+        # disc = (m - mult^w mod m) mod m, via Python ints (exact pow-mod)
+        disc = np.empty(ndim, dtype=_U64)
+        for d in range(ndim):
+            m = int(self.mod[d])
+            disc[d] = (m - pow(int(self.mult[d]), int(self.widths[d]), m)) % m
+        self.disc = disc
+
+
+_PARAMS_CACHE: dict[tuple, FingerprintParams] = {}
+
+
+def fingerprint_params(
+    ndim: int, widths: Sequence[int] | None = None, seed: int = 0
+) -> FingerprintParams:
+    key = (ndim, tuple(widths) if widths else None, seed)
+    p = _PARAMS_CACHE.get(key)
+    if p is None:
+        p = _PARAMS_CACHE[key] = FingerprintParams(ndim, widths, seed)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# MinHash / Count-Min fingerprints (batch, uint64 exact arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def fingerprints(
+    texts: Sequence[bytes],
+    ndim: int = 128,
+    widths: Sequence[int] | None = None,
+    seed: int = 0,
+    batch_bytes: int = 1 << 24,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling-hash MinHash + Count-Min fingerprints for a batch of texts.
+
+    Returns ``(min_hashes, min_counts)``, both ``uint32 (n_texts, ndim)``.
+    Semantics match stringzillas' ``Fingerprints(ndim, widths, seed)``
+    engine (fingerprints/serial.hpp:1180-1286): per dimension ``d`` a
+    Rabin-Karp rolling hash with seeded multiplier/modulo slides a
+    width-``w[d]`` window over the text; the exported hash is the 32 low
+    bits of the minimum state, the count is the number of windows
+    attaining the minimum; texts shorter than ``w[d]`` export
+    ``(0xFFFFFFFF, 0)``.
+    """
+    params = fingerprint_params(ndim, widths, seed)
+    n = len(texts)
+    hashes = np.full((n, ndim), MAX_HASH_U32, dtype=np.uint32)
+    counts = np.zeros((n, ndim), dtype=np.uint32)
+    if n == 0:
+        return hashes, counts
+
+    # Sort by length so each padded sub-batch wastes little work.
+    order = np.argsort([len(t) for t in texts], kind="stable")
+    start = 0
+    while start < n:
+        # grow the sub-batch until its padded matrix would exceed batch_bytes
+        end = start + 1
+        max_len = len(texts[order[start]])
+        while end < n:
+            cand_len = max(max_len, len(texts[order[end]]))
+            if (end - start + 1) * cand_len * 8 > batch_bytes and end > start:
+                break
+            max_len = cand_len
+            end += 1
+        idx = order[start:end]
+        h, c = _fingerprint_padded_batch([texts[i] for i in idx], params)
+        hashes[idx] = h
+        counts[idx] = c
+        start = end
+    return hashes, counts
+
+
+def _fingerprint_padded_batch(
+    batch: list[bytes], params: FingerprintParams
+) -> tuple[np.ndarray, np.ndarray]:
+    b = len(batch)
+    ndim = params.ndim
+    lengths = np.asarray([len(t) for t in batch], dtype=np.int64)
+    max_len = int(lengths.max()) if b else 0
+    widths = params.widths  # (D,) int64
+    mult, mod, disc = params.mult, params.mod, params.disc  # (D,) uint64
+
+    if max_len == 0 or max_len < int(widths.min()):
+        # every dim may still be short for *all* texts; fall through anyway
+        pass
+
+    padded = np.zeros((b, max_len), dtype=_U64)
+    for i, t in enumerate(batch):
+        if t:
+            padded[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+
+    sentinel = _U64(1) << _U64(63)  # larger than any state < 2^42
+    state = np.zeros((b, ndim), dtype=_U64)
+    minv = np.full((b, ndim), sentinel, dtype=_U64)
+    count = np.zeros((b, ndim), dtype=_U64)
+
+    one = _U64(1)
+    for p in range(max_len):
+        active = lengths > p  # (B,)
+        new_term = padded[:, p] + one  # (B,)
+        old_idx = p - widths  # (D,)
+        old_cols = np.clip(old_idx, 0, None)
+        old_term = padded[:, old_cols] + one  # (B, D)
+        old_term = old_term * (old_idx >= 0).astype(_U64)  # zero in prefix phase
+        x = state * mult + new_term[:, None] + disc * old_term
+        new_state = x % mod
+        act2 = active[:, None]
+        state = np.where(act2, new_state, state)
+
+        boundary = (old_idx == -1) & np.ones_like(active[:, None], dtype=bool)
+        boundary = boundary & act2  # dims whose window just completed
+        rolling = (old_idx >= 0) & act2
+        if boundary.any():
+            minv = np.where(boundary, state, minv)
+            count = np.where(boundary, one, count)
+        if rolling.any():
+            ge = (state >= minv) & rolling
+            le = (state <= minv) & rolling
+            count = np.where(rolling, count * ge.astype(_U64) + le.astype(_U64), count)
+            minv = np.where(rolling & (state < minv), state, minv)
+
+    never_set = minv == sentinel
+    hashes = np.where(
+        never_set, np.uint64(MAX_HASH_U32), minv & _U64(MAX_HASH_U32)
+    ).astype(np.uint32)
+    counts = np.where(never_set, _U64(0), count).astype(np.uint32)
+    return hashes, counts
+
+
+def fingerprint_one_scalar(
+    text: bytes, ndim: int = 128, widths: Sequence[int] | None = None, seed: int = 0
+) -> tuple[list[int], list[int]]:
+    """Slow, independent scalar oracle in pure-Python big-int arithmetic.
+
+    Used only by tests to cross-check :func:`fingerprints` (the same
+    differential-testing strategy as the reference's in-test NumPy
+    Wagner-Fischer oracle, test/similarities.py:48-66).
+    """
+    params = fingerprint_params(ndim, widths, seed)
+    out_h, out_c = [], []
+    data = list(text)
+    for d in range(ndim):
+        w = int(params.widths[d])
+        m = int(params.mod[d])
+        mul = int(params.mult[d])
+        if len(data) < w:
+            out_h.append(MAX_HASH_U32)
+            out_c.append(0)
+            continue
+        state = 0
+        for i in range(w):
+            state = (state * mul + data[i] + 1) % m
+        best, cnt = state, 1
+        for i in range(w, len(data)):
+            state = (state * mul + data[i] + 1 - (data[i - w] + 1) * pow(mul, w, m)) % m
+            if state < best:
+                best, cnt = state, 1
+            elif state == best:
+                cnt += 1
+        out_h.append(best & MAX_HASH_U32)
+        out_c.append(cnt)
+    return out_h, out_c
+
+
+def fingerprint_one_f64(
+    text: bytes, ndim: int = 128, widths: Sequence[int] | None = None, seed: int = 0
+) -> tuple[list[int], list[int]]:
+    """IEEE-f64 mirror of the reference's floating path, for conformance.
+
+    Follows the exact op sequence of fingerprints/serial.hpp:1240-1264
+    (two-reduction roll with the negative discarding multiplier and the
+    clamped Barrett mod of :1309-1321).  Tests assert it agrees with the
+    uint64 production path bit-for-bit, evidencing that our integers ARE
+    the reference's f64 states.
+    """
+    params = fingerprint_params(ndim, widths, seed)
+    out_h, out_c = [], []
+    data = list(text)
+    for d in range(ndim):
+        w = int(params.widths[d])
+        m = float(params.mod[d])
+        mul = float(params.mult[d])
+        inv_m = 1.0 / m
+        neg_disc = 1.0
+        for _ in range(w - 1):
+            neg_disc = np.fmod(neg_disc * mul, m)
+        neg_disc = -neg_disc
+
+        def barrett(x: float) -> float:
+            q = np.floor(x * inv_m)
+            r = x - q * m
+            r += m * (r < 0.0)
+            r -= m * (r >= m)
+            return float(r)
+
+        if len(data) < w:
+            out_h.append(MAX_HASH_U32)
+            out_c.append(0)
+            continue
+        state = 0.0
+        for i in range(w):
+            state = barrett(state * mul + (data[i] + 1.0))
+        best, cnt = state, 1
+        for i in range(w, len(data)):
+            state = barrett(neg_disc * (data[i - w] + 1.0) + state)
+            state = barrett(state * mul + (data[i] + 1.0))
+            cnt = cnt * (state >= best) + (state <= best)
+            best = min(best, state)
+        out_h.append(int(best) & MAX_HASH_U32)
+        out_c.append(int(cnt))
+    return out_h, out_c
+
+
+def merge_count_min_sketches(
+    hashes_a: np.ndarray,
+    counts_a: np.ndarray,
+    hashes_b: np.ndarray,
+    counts_b: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Associative, commutative sketch merge (fingerprints/serial.hpp:601-625):
+    elementwise min of hashes; counts add where hashes tie, else the
+    winning side's count.  This is exactly Spark's partial→final
+    aggregation contract, enabling chunked/streaming fingerprints.
+    """
+    take_a = hashes_a < hashes_b
+    tie = hashes_a == hashes_b
+    hashes = np.where(take_a, hashes_a, hashes_b)
+    counts = np.where(take_a, counts_a, np.where(tie, counts_a + counts_b, counts_b))
+    return hashes, counts
+
+
+# ---------------------------------------------------------------------------
+# Batched pairwise alignment (Levenshtein / NW / SW) — Gotoh, vectorized
+# ---------------------------------------------------------------------------
+
+
+def _as_byte_matrix(strs: Sequence[bytes], max_len: int) -> np.ndarray:
+    out = np.zeros((len(strs), max_len), dtype=np.int64)
+    for i, s in enumerate(strs):
+        if s:
+            out[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    return out
+
+
+def _as_codepoint_matrix(strs: Sequence[str], max_len: int) -> np.ndarray:
+    out = np.zeros((len(strs), max_len), dtype=np.int64)
+    for i, s in enumerate(strs):
+        if s:
+            out[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return out
+
+
+def _gotoh_batch(
+    a_mat: np.ndarray,
+    a_len: np.ndarray,
+    b_mat: np.ndarray,
+    b_len: np.ndarray,
+    sub_cost,
+    gap_open: int,
+    gap_extend: int,
+    minimize: bool,
+    local: bool,
+) -> np.ndarray:
+    """Batched affine-gap alignment, vectorized across the pair axis.
+
+    Row-sweep DP where the same-row (horizontal-gap) dependency is
+    resolved with a running cumulative min/max — valid whenever opening a
+    gap costs at least as much as extending it (asserted by callers),
+    because then an optimal path never closes and immediately reopens a
+    gap.  This replaces the reference's anti-diagonal traversal
+    (similarities/serial.hpp:546+) with batch-axis vectorization, the
+    reference's own "candidate lane" layout (serial.hpp:613-693).
+
+    ``sub_cost(j_bytes_col, b_char_col) -> (B, La)`` substitution costs.
+    Gap of length L costs ``gap_open + (L-1)*gap_extend``
+    (serial.hpp:1135, :1687).
+    """
+    big = np.int64(1 << 40)
+    sign = 1 if minimize else -1
+    pick = np.minimum if minimize else np.maximum
+    worst = big * sign
+
+    n = a_mat.shape[0]
+    la_max = int(a_len.max()) if n else 0
+    lb_max = int(b_len.max()) if n else 0
+    cols = la_max + 1
+
+    j_idx = np.arange(cols, dtype=np.int64)
+    # H row 0: 0, open, open+ext, ... (global); all zeros (local)
+    if local:
+        h_prev = np.zeros((n, cols), dtype=np.int64)
+    else:
+        h_prev = np.where(
+            j_idx == 0, 0, gap_open + gap_extend * np.maximum(j_idx - 1, 0)
+        )[None, :].repeat(n, axis=0)
+    # mask out columns beyond each pair's own a-length: harmless (we only
+    # read the cell at (b_len, a_len) at the end) but keep F sane.
+    f_prev = np.full((n, cols), worst, dtype=np.int64)
+    best_local = np.zeros(n, dtype=np.int64)
+    result = h_prev[np.arange(n), a_len].copy()  # correct when b is empty
+
+    ext = np.int64(gap_extend)
+    opn = np.int64(gap_open)
+    k_idx = j_idx  # alias
+
+    for i in range(1, lb_max + 1):
+        row_active = b_len >= i  # (B,)
+        b_char = b_mat[:, i - 1]  # (B,)
+        sub = sub_cost(a_mat, b_char)  # (B, La)
+
+        # F: vertical gaps, elementwise from previous row
+        f_cur = pick(h_prev + opn, f_prev + ext)
+
+        # G: best entry into column j that does not come via a same-row gap
+        g = np.empty((n, cols), dtype=np.int64)
+        if local:
+            g[:, 0] = 0
+        else:
+            g[:, 0] = opn + ext * (i - 1)
+        diag = h_prev[:, :-1] + sub
+        g[:, 1:] = pick(diag, f_cur[:, 1:])
+        if local:
+            g = np.maximum(g, 0)
+
+        # E: horizontal gaps via running cumulative min/max of G[k] - ext*k
+        shifted = g - ext * k_idx[None, :]
+        run = (
+            np.minimum.accumulate(shifted, axis=1)
+            if minimize
+            else np.maximum.accumulate(shifted, axis=1)
+        )
+        e = np.empty((n, cols), dtype=np.int64)
+        e[:, 0] = worst
+        e[:, 1:] = opn + ext * (j_idx[1:] - 1) + run[:, :-1]
+
+        h_cur = pick(g, e)
+        if local:
+            h_cur = np.maximum(h_cur, 0)
+
+        # freeze rows for pairs whose b is exhausted
+        h_cur = np.where(row_active[:, None], h_cur, h_prev)
+        f_cur = np.where(row_active[:, None], f_cur, f_prev)
+
+        if local:
+            # only consider columns within each pair's a-length
+            col_ok = j_idx[None, :] <= a_len[:, None]
+            row_best = np.where(col_ok & row_active[:, None], h_cur, 0).max(axis=1)
+            best_local = np.maximum(best_local, row_best)
+
+        done_now = b_len == i
+        if done_now.any():
+            result = np.where(done_now, h_cur[np.arange(n), a_len], result)
+
+        h_prev, f_prev = h_cur, f_cur
+
+    return best_local if local else result
+
+
+def levenshtein_batch(
+    a: Sequence[bytes],
+    b: Sequence[bytes],
+    match: int = 0,
+    mismatch: int = 1,
+    gap_open: int = 1,
+    gap_extend: int = 1,
+) -> np.ndarray:
+    """Byte-level edit distances for parallel lists of byte strings.
+
+    Mirrors ``szs.LevenshteinDistances`` semantics (stringzillas.h:181-238):
+    unit costs by default, affine gaps when ``gap_open != gap_extend``
+    (gap of length L costs ``open + (L-1)*extend``); empty-string edge:
+    ``dist = gap_open_or_extend * other_len`` for linear costs
+    (serial.hpp:1455-1460) and ``open + extend*(L-1)`` for affine
+    (serial.hpp:1687-1690).
+    """
+    assert gap_open >= gap_extend > 0, "vectorized Gotoh needs open >= extend"
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    a_len = np.asarray([len(x) for x in a], dtype=np.int64)
+    b_len = np.asarray([len(x) for x in b], dtype=np.int64)
+    a_mat = _as_byte_matrix(a, int(a_len.max()) if n else 0)
+    b_mat = _as_byte_matrix(b, int(b_len.max()) if n else 0)
+
+    m, mm = np.int64(match), np.int64(mismatch)
+
+    def sub_cost(a_m, b_char):
+        return np.where(a_m == b_char[:, None], m, mm)
+
+    out = _gotoh_batch(
+        a_mat, a_len, b_mat, b_len, sub_cost, gap_open, gap_extend, True, False
+    )
+    # empty-string edge (the DP already handles it, but keep the exact
+    # reference formula explicit for affine costs)
+    ea = a_len == 0
+    eb = b_len == 0
+    if ea.any() or eb.any():
+        other = np.where(ea, b_len, a_len)
+        edge = np.where(other == 0, 0, gap_open + gap_extend * np.maximum(other - 1, 0))
+        out = np.where(ea | eb, edge, out)
+    return out
+
+
+def levenshtein_utf8_batch(a: Sequence[str], b: Sequence[str], **kw) -> np.ndarray:
+    """Codepoint-level edit distances (szs.LevenshteinDistancesUTF8,
+    stringzillas.h:255-312): operates on decoded runes, so
+    ``"αβγδ" ↔ "αγδ"`` is 1, not 2."""
+    a_b = [s.encode("utf-32-le") for s in a]
+    b_b = [s.encode("utf-32-le") for s in b]
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    a_len = np.asarray([len(s) for s in a], dtype=np.int64)
+    b_len = np.asarray([len(s) for s in b], dtype=np.int64)
+    a_mat = np.zeros((n, int(a_len.max()) if n else 0), dtype=np.int64)
+    b_mat = np.zeros((n, int(b_len.max()) if n else 0), dtype=np.int64)
+    for i, s in enumerate(a_b):
+        if s:
+            a_mat[i, : a_len[i]] = np.frombuffer(s, dtype=np.uint32)
+    for i, s in enumerate(b_b):
+        if s:
+            b_mat[i, : b_len[i]] = np.frombuffer(s, dtype=np.uint32)
+
+    match = np.int64(kw.get("match", 0))
+    mismatch = np.int64(kw.get("mismatch", 1))
+    gap_open = kw.get("gap_open", 1)
+    gap_extend = kw.get("gap_extend", 1)
+    assert gap_open >= gap_extend > 0
+
+    def sub_cost(a_m, b_char):
+        return np.where(a_m == b_char[:, None], match, mismatch)
+
+    out = _gotoh_batch(
+        a_mat, a_len, b_mat, b_len, sub_cost, gap_open, gap_extend, True, False
+    )
+    ea, eb = a_len == 0, b_len == 0
+    if ea.any() or eb.any():
+        other = np.where(ea, b_len, a_len)
+        edge = np.where(other == 0, 0, gap_open + gap_extend * np.maximum(other - 1, 0))
+        out = np.where(ea | eb, edge, out)
+    return out
+
+
+def _alignment_scores(
+    a: Sequence[bytes],
+    b: Sequence[bytes],
+    substitution: np.ndarray,
+    gap_open: int,
+    gap_extend: int,
+    local: bool,
+) -> np.ndarray:
+    assert substitution.shape == (256, 256)
+    assert gap_open <= gap_extend < 0, "scores maximize; opening must cost >= extend"
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    a_len = np.asarray([len(x) for x in a], dtype=np.int64)
+    b_len = np.asarray([len(x) for x in b], dtype=np.int64)
+    a_mat = _as_byte_matrix(a, int(a_len.max()) if n else 0)
+    b_mat = _as_byte_matrix(b, int(b_len.max()) if n else 0)
+    subs = substitution.astype(np.int64)
+
+    def sub_cost(a_m, b_char):
+        return subs[a_m, b_char[:, None]]
+
+    out = _gotoh_batch(
+        a_mat, a_len, b_mat, b_len, sub_cost, gap_open, gap_extend, False, local
+    )
+    if not local:
+        # empty-string edge for global scores (serial.hpp:1925-1930 /
+        # :2078-2081): score = open + extend*(L-1) against the empty side
+        ea, eb = a_len == 0, b_len == 0
+        if ea.any() or eb.any():
+            other = np.where(ea, b_len, a_len)
+            edge = np.where(
+                other == 0, 0, gap_open + gap_extend * np.maximum(other - 1, 0)
+            )
+            out = np.where(ea | eb, edge, out)
+    return out
+
+
+def needleman_wunsch_batch(
+    a: Sequence[bytes],
+    b: Sequence[bytes],
+    substitution: np.ndarray | None = None,
+    gap_open: int = -1,
+    gap_extend: int = -1,
+) -> np.ndarray:
+    """Global alignment scores (szs.NeedlemanWunschScores,
+    stringzillas.h:339-397).  ``substitution`` is a full 256x256 i64
+    matrix (build one from a byte->class map + 32x32 class costs with
+    :func:`expand_class_costs`)."""
+    if substitution is None:
+        substitution = unit_substitution(match=0, mismatch=-1)
+    return _alignment_scores(a, b, substitution, gap_open, gap_extend, False)
+
+
+def smith_waterman_batch(
+    a: Sequence[bytes],
+    b: Sequence[bytes],
+    substitution: np.ndarray | None = None,
+    gap_open: int = -1,
+    gap_extend: int = -1,
+) -> np.ndarray:
+    """Local alignment scores, floored at 0 (szs.SmithWatermanScores,
+    stringzillas.h:414-472)."""
+    if substitution is None:
+        substitution = unit_substitution(match=1, mismatch=-1)
+    return _alignment_scores(a, b, substitution, gap_open, gap_extend, True)
+
+
+def unit_substitution(match: int, mismatch: int) -> np.ndarray:
+    subs = np.full((256, 256), mismatch, dtype=np.int64)
+    np.fill_diagonal(subs, match)
+    return subs
+
+
+def expand_class_costs(byte_to_class: np.ndarray, class_costs: np.ndarray) -> np.ndarray:
+    """256x256 substitution matrix from a byte->class map (len 256) and a
+    class-costs matrix (the reference's ``error_costs_32x32_t`` shape,
+    similarities/serial.hpp:189-311)."""
+    b2c = np.asarray(byte_to_class, dtype=np.int64)
+    cc = np.asarray(class_costs, dtype=np.int64)
+    return cc[b2c[:, None], b2c[None, :]]
+
+
+def levenshtein_scalar(a: bytes, b: bytes) -> int:
+    """Slow Wagner-Fischer oracle for tests — mirrors the reference's own
+    in-test baseline (test/similarities.py:48-66)."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(a) + 1))
+    for i, cb in enumerate(b, 1):
+        cur = [i] + [0] * len(a)
+        for j, ca in enumerate(a, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+def gotoh_scalar(
+    a: bytes,
+    b: bytes,
+    sub,
+    gap_open: int,
+    gap_extend: int,
+    minimize: bool,
+    local: bool,
+) -> int:
+    """Slow full-Gotoh (explicit E/F/H) oracle — validates the vectorized
+    kernel's no-reopen shortcut."""
+    big = 1 << 40
+    worst = big if minimize else -big
+    pick = min if minimize else max
+    la, lb = len(a), len(b)
+    H = [[0] * (la + 1) for _ in range(lb + 1)]
+    E = [[worst] * (la + 1) for _ in range(lb + 1)]
+    F = [[worst] * (la + 1) for _ in range(lb + 1)]
+    if not local:
+        for j in range(1, la + 1):
+            H[0][j] = gap_open + gap_extend * (j - 1)
+        for i in range(1, lb + 1):
+            H[i][0] = gap_open + gap_extend * (i - 1)
+    best = 0
+    for i in range(1, lb + 1):
+        for j in range(1, la + 1):
+            E[i][j] = pick(H[i][j - 1] + gap_open, E[i][j - 1] + gap_extend)
+            F[i][j] = pick(H[i - 1][j] + gap_open, F[i - 1][j] + gap_extend)
+            h = pick(pick(E[i][j], F[i][j]), H[i - 1][j - 1] + sub(a[j - 1], b[i - 1]))
+            if local:
+                h = max(h, 0)
+                best = max(best, h)
+            H[i][j] = h
+    return best if local else H[lb][la]
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler (pipeline extra — NOT reference-derived; Winkler 1990)
+# ---------------------------------------------------------------------------
+
+
+def jaro_similarity(a: str, b: str) -> float:
+    """Jaro similarity; empty-string convention follows DuckDB's
+    ``jaro_similarity`` (0.0 whenever either side is empty, including
+    both-empty) so the SQL oracle comparisons are exact."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    b_used = [False] * lb
+    matches = 0
+    a_match = []
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_used[j] and b[j] == ca:
+                b_used[j] = True
+                matches += 1
+                a_match.append((i, j))
+                break
+    if matches == 0:
+        return 0.0
+    a_seq = [a[i] for i, _ in a_match]
+    b_seq = [b[j] for j in sorted(j for _, j in a_match)]
+    transpositions = sum(1 for x, y in zip(a_seq, b_seq) if x != y) // 2
+    m = float(matches)
+    return (m / la + m / lb + (m - transpositions) / m) / 3.0
+
+
+def jaro_winkler_similarity(
+    a: str, b: str, prefix_weight: float = 0.1, boost_threshold: float = 0.7
+) -> float:
+    jaro = jaro_similarity(a, b)
+    if jaro <= boost_threshold:
+        return jaro
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        prefix += 1
+    return jaro + prefix * prefix_weight * (1.0 - jaro)
+
+
+def jaro_winkler_batch(a: Sequence[str], b: Sequence[str]) -> np.ndarray:
+    return np.asarray(
+        [jaro_winkler_similarity(x, y) for x, y in zip(a, b)], dtype=np.float64
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived similarity helpers
+# ---------------------------------------------------------------------------
+
+
+def normalized_edit_similarity(a: Sequence[bytes], b: Sequence[bytes]) -> np.ndarray:
+    """``1 - dist/max(len)`` — the pair score the ER pipeline thresholds."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    dist = levenshtein_batch(a, b).astype(np.float64)
+    denom = np.maximum(
+        np.asarray([len(x) for x in a], dtype=np.float64),
+        np.asarray([len(x) for x in b], dtype=np.float64),
+    )
+    return np.where(denom == 0, 1.0, 1.0 - dist / np.maximum(denom, 1.0))
+
+
+def simhash64(tokens_per_doc: Sequence[Sequence[bytes]], seed: int = 0) -> np.ndarray:
+    """64-bit SimHash over token multisets (pipeline extra).
+
+    Token hash is splitmix64 over a little-endian folded token digest so
+    it is deterministic and platform-independent.
+    """
+    out = np.zeros(len(tokens_per_doc), dtype=np.uint64)
+    for i, toks in enumerate(tokens_per_doc):
+        if not toks:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = np.uint64((hash_bytes_u64(t) + seed) & 0xFFFFFFFFFFFFFFFF)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        sig = np.uint64(0)
+        for bit in range(64):
+            if acc[bit] > 0:
+                sig |= np.uint64(1) << np.uint64(bit)
+        out[i] = sig
+    return out
+
+
+def hash_bytes_u64(data: bytes, seed: int = 0) -> int:
+    """Deterministic 64-bit polynomial hash of a byte string (FNV-1a-like,
+    then splitmix64-mixed).  An interchangeable PRF in the sense of
+    SURVEY.md §2.7 — NOT the reference's AES-based sz_hash."""
+    h = 0xCBF29CE484222325 ^ (seed & 0xFFFFFFFFFFFFFFFF)
+    for byte in data:
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return int(splitmix64(np.uint64(h)))

@@ -1,0 +1,303 @@
+"""Conformance tests for sz_spark.kernels — mirrors the reference's test
+strategy (SURVEY.md §5): independent oracles, differential sweeps,
+boundary-length sweeps, seeded randomized properties, degenerate shapes.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import numpy as np
+import pytest
+
+from sz_spark import kernels as K
+
+# boundary lengths around every MinHash window width (reference pattern:
+# test/sz_helpers.py VECTOR_WIDTH_LENGTHS)
+BOUNDARY_LENGTHS = sorted(
+    {0, 1, 2}
+    | {w + d for w in K.DEFAULT_WINDOW_WIDTHS for d in (-1, 0, 1)}
+    | {32, 33, 63, 64, 65, 100, 257}
+)
+
+SEEDS = [0, 1, 42, 0xDEADBEEF]
+
+
+def rand_bytes(rng: random.Random, n: int, alphabet: bytes = b"abcd \n") -> bytes:
+    return bytes(rng.choice(alphabet) for _ in range(n))
+
+
+# ---------------------------------------------------------------------------
+# splitmix64 — golden vectors from the published algorithm
+# ---------------------------------------------------------------------------
+
+
+def test_splitmix64_golden():
+    # independently derived from the canonical splitmix64 (Vigna, public
+    # domain, https://prng.di.unimi.it/splitmix64.c), computed with big-int
+    # arithmetic below
+    def ref(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    xs = [0, 1, 2, 42, 2**63, 2**64 - 1, 123456789]
+    got = K.splitmix64(np.asarray(xs, dtype=np.uint64))
+    assert [int(g) for g in got] == [ref(x) for x in xs]
+
+
+# ---------------------------------------------------------------------------
+# fingerprints
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fingerprint_params_ranges(seed):
+    p = K.fingerprint_params(64, None, seed)
+    assert ((p.mult >= 256) & (p.mult < 640)).all()
+    assert ((p.mod > K.MODULO_BASE - 2**20) & (p.mod <= K.MODULO_BASE)).all()
+
+
+def test_dim_window_widths_interleaved_and_sliced():
+    # ndim=128 with 8 widths: 16 dims/width, not a multiple of 64 → interleaved
+    w = K.dim_window_widths(128)
+    assert list(w[:9]) == [3, 4, 5, 7, 9, 11, 15, 31, 3]
+    # ndim=512: 64 dims/width → sliced, one width per 64-dim block
+    w = K.dim_window_widths(512)
+    assert list(np.unique(w[:64])) == [3]
+    assert list(np.unique(w[64:128])) == [4]
+    assert list(np.unique(w[448:512])) == [31]
+
+
+@pytest.mark.parametrize("seed", [0, 42])
+def test_fingerprints_match_scalar_oracle(seed):
+    rng = random.Random(1000 + seed)
+    texts = [rand_bytes(rng, n) for n in BOUNDARY_LENGTHS]
+    h, c = K.fingerprints(texts, ndim=16, seed=seed)
+    for i, t in enumerate(texts):
+        eh, ec = K.fingerprint_one_scalar(t, ndim=16, seed=seed)
+        assert list(h[i]) == eh, f"hash mismatch len={len(t)}"
+        assert list(c[i]) == ec, f"count mismatch len={len(t)}"
+
+
+def test_fingerprints_match_f64_reference_path():
+    """uint64 production path == IEEE-f64 mirror of the reference, bit-for-bit."""
+    rng = random.Random(7)
+    texts = [rand_bytes(rng, n, bytes(range(256))) for n in (0, 1, 3, 7, 31, 64, 200)]
+    h, c = K.fingerprints(texts, ndim=16, seed=0)
+    for i, t in enumerate(texts):
+        eh, ec = K.fingerprint_one_f64(t, ndim=16, seed=0)
+        assert list(h[i]) == eh
+        assert list(c[i]) == ec
+
+
+def test_fingerprints_short_text_sentinel():
+    h, c = K.fingerprints([b"", b"ab"], ndim=8)
+    # widths 3..31: all dims short for "" and "ab"
+    assert (h == K.MAX_HASH_U32).all()
+    assert (c == 0).all()
+
+
+def test_fingerprints_deterministic_and_seed_sensitive():
+    texts = [b"hello world, hello rolling hash"] * 2
+    h1, c1 = K.fingerprints(texts, ndim=32, seed=0)
+    h2, c2 = K.fingerprints(texts, ndim=32, seed=0)
+    assert (h1 == h2).all() and (c1 == c2).all()
+    assert (h1[0] == h1[1]).all()  # identical input ⇒ identical fingerprint
+    h3, _ = K.fingerprints(texts, ndim=32, seed=1)
+    assert (h1 != h3).any()
+
+
+def test_fingerprints_all_same_char():
+    # degenerate: one distinct window per width ⇒ count == n_windows
+    t = b"a" * 50
+    h, c = K.fingerprints([t], ndim=8, seed=0)
+    for d, w in enumerate(K.dim_window_widths(8)):
+        assert c[0, d] == 50 - int(w) + 1
+
+
+def test_merge_count_min_sketches_equals_whole():
+    """Chunked fingerprint + merge == one-shot (streaming property,
+    fingerprints/serial.hpp:601-625)."""
+    rng = random.Random(3)
+    t = rand_bytes(rng, 300)
+    ndim = 16
+    whole_h, whole_c = K.fingerprints([t], ndim=ndim)
+    # chunk at a window-aligned point with overlap of w-1 bytes per dim is
+    # complex; instead verify the merge law on two *independent* texts vs
+    # the min-combine definition
+    h1, c1 = K.fingerprints([t[:150]], ndim=ndim)
+    h2, c2 = K.fingerprints([t[150:]], ndim=ndim)
+    mh, mc = K.merge_count_min_sketches(h1, c1, h2, c2)
+    assert (mh == np.minimum(h1, h2)).all()
+    exp_c = np.where(h1 < h2, c1, np.where(h1 == h2, c1 + c2, c2))
+    assert (mc == exp_c).all()
+    # and merging a sketch with itself doubles counts, keeps hashes
+    sh, sc = K.merge_count_min_sketches(whole_h, whole_c, whole_h, whole_c)
+    assert (sh == whole_h).all() and (sc == 2 * whole_c).all()
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein / NW / SW
+# ---------------------------------------------------------------------------
+
+
+def test_levenshtein_known_values():
+    a = [b"kitten", b"", b"abc", b"flaw", b"saturday"]
+    b = [b"sitting", b"abc", b"", b"lawn", b"sunday"]
+    got = K.levenshtein_batch(a, b)
+    assert list(got) == [3, 3, 3, 2, 3]
+
+
+def test_levenshtein_vs_scalar_oracle_random():
+    rng = random.Random(11)
+    a, b = [], []
+    for _ in range(120):
+        a.append(rand_bytes(rng, rng.randint(0, 40)))
+        b.append(rand_bytes(rng, rng.randint(0, 40)))
+    got = K.levenshtein_batch(a, b)
+    exp = [K.levenshtein_scalar(x, y) for x, y in zip(a, b)]
+    assert list(got) == exp
+
+
+def test_levenshtein_vs_duckdb():
+    rng = random.Random(13)
+    pairs = [
+        (
+            rand_bytes(rng, rng.randint(0, 30), b"abcdef").decode(),
+            rand_bytes(rng, rng.randint(0, 30), b"abcdef").decode(),
+        )
+        for _ in range(100)
+    ]
+    got = K.levenshtein_batch(
+        [p[0].encode() for p in pairs], [p[1].encode() for p in pairs]
+    )
+    con = duckdb.connect()
+    exp = [
+        con.execute("SELECT levenshtein(?, ?)", [x, y]).fetchone()[0]
+        for x, y in pairs
+    ]
+    assert list(got) == exp
+
+
+def test_levenshtein_affine_vs_gotoh_scalar():
+    rng = random.Random(17)
+    for gap_open, gap_extend in [(2, 1), (3, 1), (5, 2)]:
+        a = [rand_bytes(rng, rng.randint(0, 25)) for _ in range(40)]
+        b = [rand_bytes(rng, rng.randint(0, 25)) for _ in range(40)]
+        got = K.levenshtein_batch(a, b, gap_open=gap_open, gap_extend=gap_extend)
+        for i in range(len(a)):
+            if not a[i] or not b[i]:
+                other = len(a[i]) or len(b[i])
+                exp = 0 if other == 0 else gap_open + gap_extend * (other - 1)
+            else:
+                exp = K.gotoh_scalar(
+                    a[i], b[i],
+                    lambda x, y: 0 if x == y else 1,
+                    gap_open, gap_extend, True, False,
+                )
+            assert got[i] == exp, (a[i], b[i], gap_open, gap_extend)
+
+
+def test_levenshtein_utf8_codepoints():
+    assert list(K.levenshtein_utf8_batch(["αβγδ"], ["αγδ"])) == [1]
+    # byte-level distance of the same pair is 2 (β is 2 bytes)
+    assert list(K.levenshtein_batch(["αβγδ".encode()], ["αγδ".encode()])) == [2]
+
+
+def test_needleman_wunsch_vs_gotoh_scalar():
+    rng = random.Random(19)
+    subs = K.unit_substitution(match=2, mismatch=-1)
+    a = [rand_bytes(rng, rng.randint(0, 20)) for _ in range(30)]
+    b = [rand_bytes(rng, rng.randint(0, 20)) for _ in range(30)]
+    got = K.needleman_wunsch_batch(a, b, subs, gap_open=-2, gap_extend=-1)
+    for i in range(len(a)):
+        if not a[i] or not b[i]:
+            other = len(a[i]) or len(b[i])
+            exp = 0 if other == 0 else -2 + -1 * (other - 1)
+        else:
+            exp = K.gotoh_scalar(
+                a[i], b[i],
+                lambda x, y: 2 if x == y else -1,
+                -2, -1, False, False,
+            )
+        assert got[i] == exp
+
+
+def test_smith_waterman_vs_gotoh_scalar():
+    rng = random.Random(23)
+    a = [rand_bytes(rng, rng.randint(0, 20)) for _ in range(30)]
+    b = [rand_bytes(rng, rng.randint(0, 20)) for _ in range(30)]
+    got = K.smith_waterman_batch(a, b, gap_open=-2, gap_extend=-1)
+    for i in range(len(a)):
+        exp = K.gotoh_scalar(
+            a[i], b[i], lambda x, y: 1 if x == y else -1, -2, -1, False, True
+        )
+        assert got[i] == exp
+    assert (got >= 0).all()
+
+
+def test_smith_waterman_substring_identity():
+    # a local alignment of a string against itself scores match*len
+    got = K.smith_waterman_batch([b"hello"], [b"xxhelloyy"])
+    assert got[0] == 5
+
+
+def test_expand_class_costs():
+    b2c = np.zeros(256, dtype=np.int64)
+    b2c[ord("a")] = 1
+    cc = np.full((32, 32), -3, dtype=np.int64)
+    np.fill_diagonal(cc, 5)
+    m = K.expand_class_costs(b2c, cc)
+    assert m[ord("a"), ord("a")] == 5
+    assert m[ord("a"), ord("b")] == -3
+    assert m[ord("b"), ord("c")] == 5  # same class 0
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler
+# ---------------------------------------------------------------------------
+
+
+def test_jaro_winkler_known():
+    assert K.jaro_winkler_similarity("martha", "marhta") == pytest.approx(0.9611, abs=1e-4)
+    assert K.jaro_winkler_similarity("", "") == 0.0  # DuckDB convention
+    assert K.jaro_winkler_similarity("abc", "") == 0.0
+    assert K.jaro_winkler_similarity("abc", "abc") == 1.0
+
+
+def test_jaro_winkler_vs_duckdb():
+    rng = random.Random(29)
+    con = duckdb.connect()
+    for _ in range(200):
+        x = rand_bytes(rng, rng.randint(0, 15), b"abcde").decode()
+        y = rand_bytes(rng, rng.randint(0, 15), b"abcde").decode()
+        exp = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [x, y]
+        ).fetchone()[0]
+        got = K.jaro_winkler_similarity(x, y)
+        assert got == pytest.approx(exp, abs=1e-9), (x, y)
+
+
+# ---------------------------------------------------------------------------
+# derived helpers
+# ---------------------------------------------------------------------------
+
+
+def test_normalized_edit_similarity():
+    s = K.normalized_edit_similarity([b"abcd", b"", b"abc"], [b"abcd", b"", b"xyz"])
+    assert s[0] == 1.0 and s[1] == 1.0 and s[2] == 0.0
+
+
+def test_simhash_similar_docs_close():
+    t1 = [b"the", b"quick", b"brown", b"fox", b"jumps", b"over", b"dog"] * 3
+    t2 = t1[:-1] + [b"cat"]
+    t3 = [b"completely", b"different", b"tokens", b"here", b"entirely"] * 4
+    sigs = K.simhash64([t1, t2, t3])
+    def hamming(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+    assert hamming(sigs[0], sigs[1]) < hamming(sigs[0], sigs[2])
+    assert (K.simhash64([t1]) == sigs[0]).all()  # deterministic
