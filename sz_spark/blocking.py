@@ -1,0 +1,212 @@
+"""MinHash-LSH blocking: fingerprint -> band signatures -> candidate blocks.
+
+Two interchangeable signature families:
+
+* :func:`add_fingerprint` / :func:`bands_from_fingerprint` — the
+  reference-conformant rolling-hash MinHash (sz_spark.kernels, byte-exact
+  vs stringzillas' Fingerprints engine) computed in an Arrow-batched
+  pandas UDF; banding itself is native Spark (F.slice + F.hash, JVM-side).
+* :func:`minhash_bands_sql_variant` — an md5-over-shingles MinHash whose
+  math is *also* expressible in ANSI SQL, used by the DuckDB correctness
+  oracle so the whole blocking stage is value-checked end-to-end.
+
+Scale design: banding is the pipeline's ONE deliberate shuffle before
+pair scoring.  Oversized blocks (stop-band signatures) are capped — the
+classic LSH guard; at 10^12 turns a single hot band would otherwise
+generate O(n^2) pairs.  AQE skew-join handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sz_spark.udfs import make_fingerprint_udf
+
+DEFAULT_NDIM = 128
+# Blocking fingerprints use LARGER window widths than the engine default
+# {3..31}: tiny windows over a small vocabulary are shared by every
+# document (zero discrimination), while 16-48-byte windows span multiple
+# words/salts.  Measured on the sf0.001 corpus: default widths at r=4
+# give 51k candidates; these widths give ~410 at 100% true-pair recall.
+DEFAULT_FP_WIDTHS = (16, 24, 32, 48)
+# 32 bands x 4 rows: at pair similarity ~0.95 the per-dim minhash
+# agreement on SHORT docs can dip to ~0.7 (the edit window covers a
+# large text fraction); r=8 then misses ~5-6% of true pairs while r=4
+# keeps the measured miss rate at 0 with barely more candidates.
+DEFAULT_BANDS = 32
+DEFAULT_ROWS = 4
+
+
+def add_fingerprint(
+    docs: DataFrame,
+    text_col: str = "doc",
+    ndim: int = DEFAULT_NDIM,
+    widths=DEFAULT_FP_WIDTHS,
+    seed: int = 0,
+) -> DataFrame:
+    """docs + fp (array<long> of u32 min-hashes, reference math §2.8)."""
+    fp_udf = make_fingerprint_udf(ndim=ndim, widths=widths, seed=seed)
+    return docs.withColumn("_fp", fp_udf(F.col(text_col))).select(
+        "*", F.col("_fp.hashes").alias("fp"), F.col("_fp.counts").alias("fp_counts")
+    ).drop("_fp")
+
+
+def explode_bands(
+    docs_with_fp: DataFrame,
+    id_col: str = "conv_id",
+    n_bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS,
+) -> DataFrame:
+    """One row per (doc, band): block key = (band_id, hash of band slice).
+
+    The band hash runs JVM-side (F.hash over an array slice) — no Python.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.hash(F.slice(F.col("fp"), 1 + b * rows_per_band, rows_per_band)).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return docs_with_fp.select(
+        F.col(id_col), F.explode(bands).alias("band")
+    ).select(
+        id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+
+
+def cap_blocks(bands: DataFrame, max_block_size: int = 64) -> tuple[DataFrame, DataFrame]:
+    """Drop oversized blocks (stop-bands).  Returns (kept, suppressed_stats).
+
+    Mirrors the reference's refusal to let one giant work item starve the
+    pool (similarities/serial.hpp:3296-3395 two-tier scheduling): blocks
+    with > max_block_size members contribute O(size^2) candidate pairs
+    with near-zero precision value, so they are suppressed and *logged*
+    (never silently).
+    """
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("block_size"))
+    kept = (
+        bands.join(sizes, ["band_id", "band_hash"])
+        .filter(F.col("block_size") <= max_block_size)
+        .drop("block_size")
+    )
+    suppressed = sizes.filter(F.col("block_size") > max_block_size)
+    return kept, suppressed
+
+
+def candidate_pairs(bands: DataFrame, id_col: str = "conv_id") -> DataFrame:
+    """Within-block pairs, lower-triangle only (a < b — the reference's
+    symmetric-mirror trick, serial.hpp:3356-3360), deduped across bands."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible MinHash variant (oracle-checkable end to end)
+# ---------------------------------------------------------------------------
+
+
+def shingle_minhash_bands(
+    docs: DataFrame,
+    text_col: str = "doc",
+    id_col: str = "conv_id",
+    shingle_words: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """MinHash over word shingles using md5 as the hash family —
+    deterministic and reproducible in DuckDB SQL (see
+    :func:`shingle_minhash_bands_sql`).
+
+    sig[k] = min over shingles s of md5(k || '|' || s) (hex string order);
+    band j = hash-of-concat of its rows.  All native Spark expressions.
+    """
+    rows_per_band = n_hashes // n_bands
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # guard: Spark's sequence(1, x) DESCENDS when x < 1 — empty-out instead
+    shingles = F.when(
+        n >= shingle_words,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(shingle_words - 1)),
+            lambda i: F.array_join(F.slice(toks, i, shingle_words), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select(id_col, shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(F.lit(f"{k}|"), s)),
+            )
+        ).alias(f"mh_{k}")
+        for k in range(n_hashes)
+    ]
+    sigs = d.select(id_col, *sig_cols)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    return sigs.select(id_col, *band_cols)
+
+
+def shingle_minhash_bands_sql(
+    docs_cte: str,
+    shingle_words: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> str:
+    """DuckDB twin of :func:`shingle_minhash_bands`."""
+    rows_per_band = n_hashes // n_bands
+    mh_exprs = ",\n       ".join(
+        "list_min(list_transform(shingles, s -> md5('{k}|' || s))) AS mh_{k}".format(k=k)
+        for k in range(n_hashes)
+    )
+    band_exprs = ",\n       ".join(
+        "md5({parts}) AS band_{b}".format(
+            parts=" || '|' || ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+            b=b,
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH docs AS ({docs_cte}),
+sh AS (
+  SELECT conv_id,
+         list_transform(
+           range(1, len(string_split(doc, ' ')) - {shingle_words - 2}),
+           i -> array_to_string(string_split(doc, ' ')[i : i + {shingle_words - 1}], ' ')
+         ) AS shingles
+  FROM docs
+),
+sigs AS (
+  SELECT conv_id,
+         {mh_exprs}
+  FROM sh WHERE len(shingles) > 0
+)
+SELECT conv_id,
+       {band_exprs}
+FROM sigs
+"""

@@ -1,0 +1,124 @@
+"""Transitive clustering: connected components over the match-pair graph.
+
+Implements the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014) with plain DataFrame joins/aggregations — each round is two
+shuffles, converges in O(log^2 n) rounds, and every round can be
+checkpointed so a failed run resumes mid-stage.
+
+Deterministic output: cluster_id = min conv_id (lexicographic) of the
+component, matching union-find-with-min semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}).  Input/output: undirected edge list (src, dst)."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = sym.groupBy("src").agg(F.min("dst").alias("m"))
+    m = m.withColumn("m", F.least("src", "m"))
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u, connect every neighbor <= u to min(N≤(u) ∪ {u})."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = directed.join(m, "src")
+    out = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
+        m.select(F.col("src"), F.col("m").alias("dst"))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    checkpoint=None,
+) -> DataFrame:
+    """edges(src, dst) -> assignments(id, cluster_id).
+
+    ``checkpoint``: optional callable ``(df, round_idx) -> df`` that
+    persists the intermediate edge set and returns a lineage-truncated
+    DataFrame (see sz_spark.lineage.CheckpointManager) — at 10^12-turn
+    scale the iterative plan would otherwise grow unboundedly.
+    """
+    cur = edges.select(
+        F.col("src").cast("string"), F.col("dst").cast("string")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+
+    for i in range(max_iterations):
+        nxt = _small_star(_large_star(cur))
+        if checkpoint is not None:
+            nxt = checkpoint(nxt, i)
+        else:
+            nxt = nxt.localCheckpoint(eager=True)
+        # convergence: edge sets equal (both directions empty diff)
+        changed = nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        cur = nxt
+        if changed == 0:
+            break
+
+    # after convergence every edge points node -> component minimum
+    members = cur.select(
+        F.col("src").alias("id"), F.col("dst").alias("cluster_id")
+    ).groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
+    roots = members.select(F.col("cluster_id").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    return members.unionByName(roots).groupBy("id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+
+
+def clusters_with_singletons(
+    assignments: DataFrame, all_ids: DataFrame, id_col: str = "conv_id"
+) -> DataFrame:
+    """Add singleton clusters for ids that matched nothing."""
+    return (
+        all_ids.select(F.col(id_col).alias("id"))
+        .join(assignments, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        )
+    )
+
+
+def connected_components_sql(edges_cte: str, node_cte: str) -> str:
+    """DuckDB-oracle twin: min-label reachability via a recursive CTE.
+    Correct for the oracle's small scale; the Spark path uses
+    large-star/small-star for 10^12-turn scale."""
+    return f"""
+WITH RECURSIVE edges AS ({edges_cte}),
+nodes AS ({node_cte}),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst AS src, src AS dst FROM edges
+),
+reach AS (
+  SELECT id, id AS comp FROM nodes
+  UNION
+  SELECT s.dst AS id, r.comp
+  FROM reach r JOIN sym s ON r.id = s.src
+  WHERE r.comp < s.dst
+)
+SELECT id AS conv_id, min(comp) AS cluster_id
+FROM reach
+GROUP BY id
+"""

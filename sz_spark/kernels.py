@@ -509,6 +509,94 @@ def levenshtein_batch(
     return out
 
 
+def levenshtein_batch_bounded(
+    a: Sequence[bytes], b: Sequence[bytes], bound: int
+) -> np.ndarray:
+    """Banded unit-cost Levenshtein: exact when dist <= bound, else
+    returns bound+1.
+
+    The ER pipeline thresholds on ``sim = 1 - dist/max(len) >= τ``, so it
+    only needs exact distances up to ``(1-τ)*max(len)`` — the classic
+    banded-DP trick (SURVEY.md §4 'bounded scorer with exactness
+    preserved below the bound').  Work drops from O(La*Lb) to
+    O(max(L)*(2*bound+1)) per pair, vectorized across the pair batch.
+
+    Band coordinates: cell (i, j) lives at d = j - i + k (k = bound), so
+    the substitution parent is prev[d], the deletion parent prev[d+1],
+    and insertions resolve along d with the same running-cummin trick as
+    :func:`_gotoh_batch`.
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    k = int(bound)
+    a_len = np.asarray([len(x) for x in a], dtype=np.int64)
+    b_len = np.asarray([len(x) for x in b], dtype=np.int64)
+    out = np.full(n, k + 1, dtype=np.int64)
+    feasible = np.abs(a_len - b_len) <= k
+    if not feasible.any():
+        return out
+    # exact equality fast path (common for exact-dup pairs)
+    eq = np.asarray([x == y for x, y in zip(a, b)])
+    todo = feasible & ~eq
+    out[eq] = 0
+    if not todo.any():
+        return out
+    idx = np.nonzero(todo)[0]
+    aa = [a[i] for i in idx]
+    bb = [b[i] for i in idx]
+    al = a_len[idx]
+    bl = b_len[idx]
+    m = len(idx)
+    la_max = int(al.max())
+    lb_max = int(bl.max())
+    a_mat = _as_byte_matrix(aa, la_max)
+    b_mat = _as_byte_matrix(bb, lb_max)
+
+    W = 2 * k + 1
+    BIG = np.int32(1 << 20)
+    d_idx = np.arange(W, dtype=np.int64)
+    # row 0: j = d - k, H = j where 0 <= j <= La
+    j0 = d_idx - k
+    cur = np.where(j0 >= 0, j0, BIG).astype(np.int32)
+    cur = np.broadcast_to(cur, (m, W)).copy()
+    cur[j0[None, :] > al[:, None]] = BIG
+
+    # b empty: the row loop never reaches i == 0, handle directly
+    res = np.where(bl == 0, np.minimum(al, k + 1), k + 1).astype(np.int64)
+    arange_m = np.arange(m)
+    for i in range(1, lb_max + 1):
+        row_active = bl >= i
+        b_char = b_mat[:, i - 1]  # (m,)
+        js = i + d_idx - k  # (W,) column index per band slot
+        valid = (js >= 1)[None, :] & (js[None, :] <= al[:, None])  # (m, W)
+        a_chars = a_mat[:, np.clip(js - 1, 0, la_max - 1)]  # (m, W)
+        sub = (a_chars != b_char[:, None]).astype(np.int32)
+        prev_shift = np.concatenate(
+            [cur[:, 1:], np.full((m, 1), BIG, dtype=np.int32)], axis=1
+        )
+        tmp = np.minimum(cur + sub, prev_shift + np.int32(1))
+        tmp = np.where(valid, tmp, BIG)
+        # boundary column j == 0 lives at d = k - i
+        if i <= k:
+            tmp[:, k - i] = np.int32(i)
+        # same-row insertions: cummin of (tmp - d) + d
+        shifted = tmp.astype(np.int64) - d_idx[None, :]
+        run = np.minimum.accumulate(shifted, axis=1)
+        new = np.minimum(tmp.astype(np.int64), run + d_idx[None, :]).astype(np.int32)
+        new = np.minimum(new, BIG)
+        cur = np.where(row_active[:, None], new, cur)
+        done_now = bl == i
+        if done_now.any():
+            d_final = (al - i + k).astype(np.int64)
+            ok = done_now & (d_final >= 0) & (d_final < W)
+            vals = cur[arange_m, np.clip(d_final, 0, W - 1)].astype(np.int64)
+            res = np.where(ok, np.minimum(vals, k + 1), res)
+
+    out[idx] = res
+    return out
+
+
 def levenshtein_utf8_batch(a: Sequence[str], b: Sequence[str], **kw) -> np.ndarray:
     """Codepoint-level edit distances (szs.LevenshteinDistancesUTF8,
     stringzillas.h:255-312): operates on decoded runes, so

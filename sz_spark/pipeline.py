@@ -1,0 +1,163 @@
+"""End-to-end record-linkage pipeline (BASELINE.json north_rule):
+
+transcripts -> canonicalize -> MinHash fingerprints (reference math) ->
+LSH bands -> capped blocks -> candidate pairs -> length prune ->
+batched-DP edit-similarity scoring -> threshold -> large-star/small-star
+connected components -> entity clusters.
+
+Each stage is resumable via CheckpointManager; evaluation computes
+pairwise precision/recall/F1 against the synthetic ground truth at a
+fixed blocking key, per the BASELINE.json metric.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sz_spark import blocking, canonicalize as canon, clustering, scoring
+from sz_spark.lineage import CheckpointManager
+from sz_spark.transcripts import build_transcripts
+
+
+@dataclass
+class PipelineConfig:
+    ndim: int = 128
+    fp_widths: tuple = blocking.DEFAULT_FP_WIDTHS
+    n_bands: int = 32
+    rows_per_band: int = 4
+    seed: int = 0
+    # true variants sit >= 0.96, cross-entity pairs <= 0.905 by the salt
+    # construction (sz_spark.transcripts docstring) — 0.94 splits with
+    # guaranteed margin on both sides
+    threshold: float = 0.94
+    max_block_size: int = 64
+    checkpoint_dir: str | None = None
+    cc_max_iterations: int = 20
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Returns {'docs', 'pairs', 'scored', 'clusters', 'suppressed_blocks'}."""
+    cfg = cfg or PipelineConfig()
+    ckpt = CheckpointManager(spark, cfg.checkpoint_dir)
+
+    docs = ckpt.stage("canonical_docs", lambda: canon.canonicalize(transcripts))
+
+    def _bands():
+        with_fp = blocking.add_fingerprint(
+            docs, ndim=cfg.ndim, widths=cfg.fp_widths, seed=cfg.seed
+        )
+        return blocking.explode_bands(
+            with_fp, n_bands=cfg.n_bands, rows_per_band=cfg.rows_per_band
+        )
+
+    bands = ckpt.stage("bands", _bands)
+    kept, suppressed = blocking.cap_blocks(bands, cfg.max_block_size)
+    pairs = ckpt.stage("pairs", lambda: blocking.candidate_pairs(kept))
+
+    def _scored():
+        with_texts = scoring.attach_texts(pairs, docs)
+        pruned = scoring.length_prune(with_texts, cfg.threshold)
+        return scoring.score_pairs(
+            pruned, threshold=None, bounded=cfg.threshold
+        ).select("id_a", "id_b", "edit_distance", "sim")
+
+    scored = ckpt.stage("scored", _scored)
+
+    edges = scored.filter(F.col("sim") >= cfg.threshold).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc_ckpt = (
+        (lambda df, i: ckpt.materialize(f"cc_iter_{i}", df))
+        if cfg.checkpoint_dir
+        else None
+    )
+    assignments = clustering.connected_components(
+        edges, max_iterations=cfg.cc_max_iterations, checkpoint=cc_ckpt
+    )
+    clusters = ckpt.stage(
+        "clusters",
+        lambda: clustering.clusters_with_singletons(assignments, docs, "conv_id"),
+    )
+
+    return {
+        "docs": docs,
+        "pairs": pairs,
+        "scored": scored,
+        "clusters": clusters,
+        "suppressed_blocks": suppressed,
+    }
+
+
+def evaluate_pairs(
+    scored: DataFrame,
+    docs_with_entity: DataFrame,
+    threshold: float,
+) -> dict[str, float]:
+    """Pairwise P/R/F1 on labeled pairs at the pipeline's blocking key.
+
+    A candidate pair is labeled positive iff both conversations derive
+    from the same ground-truth entity; predicted positive iff sim >= τ.
+    Recall additionally counts ground-truth pairs the blocking missed
+    (they are false negatives even though never scored).
+    """
+    ent = docs_with_entity.select("conv_id", "entity_id")
+    labeled = (
+        scored.join(ent.withColumnRenamed("conv_id", "id_a"), "id_a")
+        .withColumnRenamed("entity_id", "ent_a")
+        .join(ent.withColumnRenamed("conv_id", "id_b"), "id_b")
+        .withColumnRenamed("entity_id", "ent_b")
+        .withColumn("label", (F.col("ent_a") == F.col("ent_b")).cast("int"))
+        .withColumn("pred", (F.col("sim") >= threshold).cast("int"))
+    )
+    agg = labeled.agg(
+        F.sum(F.col("label") * F.col("pred")).alias("tp"),
+        F.sum((1 - F.col("label")) * F.col("pred")).alias("fp"),
+        F.sum(F.col("label") * (1 - F.col("pred"))).alias("fn_scored"),
+    ).collect()[0]
+    tp = agg["tp"] or 0
+    fp = agg["fp"] or 0
+    fn = agg["fn_scored"] or 0
+
+    # ground-truth pairs missed by blocking entirely
+    total_true = (
+        ent.groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("t"))
+        .collect()[0]["t"]
+        or 0
+    )
+    fn_missed = int(total_true) - tp - fn
+    fn_total = fn + max(fn_missed, 0)
+
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn_total) if tp + fn_total else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp": float(tp),
+        "fp": float(fp),
+        "fn": float(fn_total),
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
+def run_on_sf_dir(
+    spark: SparkSession, sf_dir: str, cfg: PipelineConfig | None = None
+) -> dict:
+    """Convenience: synth transcripts from sf_dir docs, run, evaluate."""
+    cfg = cfg or PipelineConfig()
+    transcripts = build_transcripts(spark, sf_dir, with_entity_id=True)
+    stages = run_pipeline(spark, transcripts.drop("entity_id"), cfg)
+    docs_ent = canon.canonicalize(transcripts, carry=["entity_id"]).select(
+        "conv_id", "entity_id"
+    )
+    metrics = evaluate_pairs(stages["scored"], docs_ent, cfg.threshold)
+    return {"stages": stages, "metrics": metrics}

@@ -1,0 +1,101 @@
+"""Pairwise scoring of candidate pairs.
+
+Scores run in Arrow-batched pandas UDFs over the batched-DP kernels
+(sz_spark.kernels) — the reference's candidate-lane design
+(similarities/serial.hpp:613-693) with the Arrow batch as the lane axis.
+
+Scale notes:
+* pairs join back to the (much smaller) canonical-docs table twice —
+  sort-merge joins on conv_id; the texts are NEVER carried through the
+  band explosion (that would multiply text bytes by n_bands in the
+  shuffle).
+* a cheap JVM-side length-difference prune runs before the Python DP:
+  |len(a)-len(b)| / max(len) > 1-τ already bounds similarity below τ
+  (edit distance ≥ length difference), so those pairs never cross into
+  Python.  This mirrors the reference's algorithm tiering by input size
+  (serial.hpp:2948-2994).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sz_spark.udfs import (
+    jaro_winkler_udf,
+    levenshtein_udf,
+    make_bounded_levenshtein_udf,
+    norm_edit_sim_udf,
+)
+
+
+def attach_texts(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "conv_id",
+    text_col: str = "doc",
+) -> DataFrame:
+    """pairs(id_a, id_b) ⋈ docs -> (id_a, id_b, doc_a, doc_b, len_a, len_b)."""
+    slim = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_doc"),
+        F.length(text_col).alias("_len"),
+    )
+    out = (
+        pairs.join(slim.withColumnRenamed("_id", "id_a"), "id_a")
+        .withColumnRenamed("_doc", "doc_a")
+        .withColumnRenamed("_len", "len_a")
+        .join(slim.withColumnRenamed("_id", "id_b"), "id_b")
+        .withColumnRenamed("_doc", "doc_b")
+        .withColumnRenamed("_len", "len_b")
+    )
+    return out
+
+
+def length_prune(pairs_with_texts: DataFrame, threshold: float) -> DataFrame:
+    """Drop pairs whose length gap alone caps similarity below threshold —
+    a native-Spark filter that never enters Python."""
+    max_len = F.greatest("len_a", "len_b")
+    min_len = F.least("len_a", "len_b")
+    # 1 - dist/max_len <= 1 - (max-min)/max  ⇒ prune if that bound < τ
+    return pairs_with_texts.filter(
+        (max_len - min_len) <= ((F.lit(1.0) - F.lit(threshold)) * max_len)
+    )
+
+
+def score_pairs(
+    pairs_with_texts: DataFrame,
+    threshold: float | None = None,
+    add_jaro_winkler: bool = False,
+    bounded: float | None = None,
+) -> DataFrame:
+    """Adds edit_distance + sim (normalized edit similarity in [0,1]).
+
+    ``bounded``: when set, uses the banded DP exact below the τ-bound
+    (the at-scale path — ~10x cheaper); distances of sub-τ pairs come
+    back clamped, which only matters if you *keep* sub-τ pairs.
+    """
+    if bounded is not None:
+        lev = make_bounded_levenshtein_udf(bounded)
+    else:
+        lev = levenshtein_udf
+    out = pairs_with_texts.withColumn(
+        "edit_distance", lev(F.col("doc_a"), F.col("doc_b"))
+    ).withColumn(
+        "sim",
+        F.lit(1.0)
+        - F.col("edit_distance") / F.greatest("len_a", "len_b").cast("double"),
+    )
+    if add_jaro_winkler:
+        out = out.withColumn("jw_sim", jaro_winkler_udf(F.col("doc_a"), F.col("doc_b")))
+    if threshold is not None:
+        out = out.filter(F.col("sim") >= threshold)
+    return out
+
+
+def score_pairs_exact_udf(pairs_with_texts: DataFrame) -> DataFrame:
+    """Variant computing sim fully inside Python (norm_edit_sim_udf) —
+    used by conformance tests to check the two paths agree."""
+    return pairs_with_texts.withColumn(
+        "sim", norm_edit_sim_udf(F.col("doc_a"), F.col("doc_b"))
+    )

@@ -1,0 +1,50 @@
+"""SparkSession factory with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    master: str | None = None,
+    app_name: str = "sz_spark",
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession tuned for this pipeline.
+
+    In the sandbox this is ``local[N]``; on a real cluster the same
+    config block ships via ``spark-submit --py-files`` untouched — no
+    ``local``-only assumptions live anywhere in the pipeline.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+        shuffle_partitions = int(n) if n.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime coalescing + skew-join splitting — the Spark analog
+        # of the reference's two-tier small/large work scheduling
+        # (similarities/serial.hpp:3296-3395)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow is the zero-copy tape the reference's Strs already speaks
+        # (python/stringzilla.c:392-395) — mandatory for pandas UDFs
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SZ_SPARK_DRIVER_MEM", "32g"))
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,200 @@
+"""Vectorized pandas/Arrow UDFs wrapping sz_spark.kernels.
+
+Everything compute-heavy crosses the JVM<->Python boundary in Arrow
+record batches (never per-row Python), per BASELINE.json input_hint.
+Cheap expressions stay in native pyspark.sql.functions and never enter
+Python at all.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from sz_spark import kernels as K
+
+
+def _to_bytes(series: pd.Series) -> list[bytes]:
+    return [(s if isinstance(s, bytes) else str(s).encode("utf-8")) if s is not None else b"" for s in series]
+
+
+# ---------------------------------------------------------------------------
+# fingerprints (reference math, SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+
+def make_fingerprint_udf(ndim: int = 128, widths=None, seed: int = 0):
+    """Scalar pandas UDF: text -> struct(hashes array<int>, counts array<int>).
+
+    Hashes/counts are the reference's u32 values stored as Spark ints by
+    bit-pattern-safe widening to IntegerType via int64 cast (values fit
+    u32; stored in IntegerType as the low 32 bits — compared only for
+    equality downstream, per SURVEY.md §7 'u64 hashes in signed types').
+    """
+    schema = T.StructType(
+        [
+            T.StructField("hashes", T.ArrayType(T.LongType()), False),
+            T.StructField("counts", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def fp(texts: pd.Series) -> pd.DataFrame:
+        h, c = K.fingerprints(_to_bytes(texts), ndim=ndim, widths=widths, seed=seed)
+        return pd.DataFrame(
+            {
+                "hashes": [row.astype("int64").tolist() for row in h],
+                "counts": [row.astype("int64").tolist() for row in c],
+            }
+        )
+
+    return fp
+
+
+# ---------------------------------------------------------------------------
+# pairwise scorers (SURVEY.md §2.8 similarity engines)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.LongType())
+def levenshtein_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Byte-level unit-cost edit distance (szs.LevenshteinDistances)."""
+    return pd.Series(K.levenshtein_batch(_to_bytes(a), _to_bytes(b)))
+
+
+def make_bounded_levenshtein_udf(threshold: float, chunk: int = 1024):
+    """Arrow-batched bounded edit distance for threshold-τ pair scoring.
+
+    Exact wherever ``1 - dist/max(len) >= threshold`` could hold; pairs
+    beyond the bound come back clamped (> bound), which the τ-filter
+    drops anyway.  Pairs are sorted by length inside each Arrow batch and
+    scored in chunks so the band width and padding track each chunk's
+    actual sizes (the reference's input-size algorithm tiering,
+    similarities/serial.hpp:2948-2994, re-expressed batch-wise).
+    """
+    import numpy as np
+
+    @pandas_udf(T.LongType())
+    def bounded_lev(a: pd.Series, b: pd.Series) -> pd.Series:
+        A, B = _to_bytes(a), _to_bytes(b)
+        n = len(A)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        maxlen = np.asarray([max(len(x), len(y)) for x, y in zip(A, B)])
+        order = np.argsort(maxlen, kind="stable")
+        for s in range(0, n, chunk):
+            idx = order[s : s + chunk]
+            m = int(maxlen[idx].max())
+            bound = int((1.0 - threshold) * m) + 1
+            out[idx] = K.levenshtein_batch_bounded(
+                [A[i] for i in idx], [B[i] for i in idx], bound
+            )
+        return pd.Series(out)
+
+    return bounded_lev
+
+
+def make_levenshtein_affine_udf(match=0, mismatch=1, gap_open=1, gap_extend=1):
+    @pandas_udf(T.LongType())
+    def lev_affine(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            K.levenshtein_batch(
+                _to_bytes(a), _to_bytes(b),
+                match=match, mismatch=mismatch,
+                gap_open=gap_open, gap_extend=gap_extend,
+            )
+        )
+
+    return lev_affine
+
+
+@pandas_udf(T.LongType())
+def levenshtein_utf8_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Codepoint-level edit distance (szs.LevenshteinDistancesUTF8)."""
+    return pd.Series(
+        K.levenshtein_utf8_batch(
+            ["" if x is None else str(x) for x in a],
+            ["" if x is None else str(x) for x in b],
+        )
+    )
+
+
+@pandas_udf(T.DoubleType())
+def norm_edit_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """1 - dist/max(len): the ER pair score."""
+    return pd.Series(K.normalized_edit_similarity(_to_bytes(a), _to_bytes(b)))
+
+
+@pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        K.jaro_winkler_batch(
+            ["" if x is None else str(x) for x in a],
+            ["" if x is None else str(x) for x in b],
+        )
+    )
+
+
+def make_nw_udf(substitution=None, gap_open=-1, gap_extend=-1):
+    @pandas_udf(T.LongType())
+    def nw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            K.needleman_wunsch_batch(
+                _to_bytes(a), _to_bytes(b), substitution, gap_open, gap_extend
+            )
+        )
+
+    return nw
+
+
+def make_sw_udf(substitution=None, gap_open=-1, gap_extend=-1):
+    @pandas_udf(T.LongType())
+    def sw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            K.smith_waterman_batch(
+                _to_bytes(a), _to_bytes(b), substitution, gap_open, gap_extend
+            )
+        )
+
+    return sw
+
+
+# ---------------------------------------------------------------------------
+# misc string kernels
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.LongType())
+def bytesum_udf(texts: pd.Series) -> pd.Series:
+    """Additive byte checksum (sz.bytesum, hash.h:110)."""
+    import numpy as np
+
+    return pd.Series(
+        [
+            int(np.frombuffer(t, dtype=np.uint8).sum()) if t else 0
+            for t in _to_bytes(texts)
+        ]
+    )
+
+
+@pandas_udf(T.LongType())
+def simhash64_udf(token_arrays: pd.Series) -> pd.Series:
+    """64-bit SimHash over a pre-tokenized array column; returned as the
+    signed-int64 bit pattern (Spark has no u64)."""
+    toks = [[t.encode() for t in (arr or [])] for arr in token_arrays]
+    sigs = K.simhash64(toks)
+    return pd.Series(sigs.astype("int64"))
+
+
+def band_columns(fp_col: str, n_bands: int, rows_per_band: int):
+    """Native-Spark LSH banding: slice the minhash array into bands and
+    hash each band — no Python involved (F.slice/F.hash are JVM-side)."""
+    return [
+        F.hash(F.slice(F.col(fp_col), 1 + b * rows_per_band, rows_per_band)).alias(
+            f"band_{b}"
+        )
+        for b in range(n_bands)
+    ]

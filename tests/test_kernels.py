@@ -202,6 +202,25 @@ def test_levenshtein_affine_vs_gotoh_scalar():
             assert got[i] == exp, (a[i], b[i], gap_open, gap_extend)
 
 
+def test_levenshtein_bounded_exact_below_bound():
+    rng = random.Random(31)
+    a, b = [], []
+    for _ in range(200):
+        a.append(rand_bytes(rng, rng.randint(0, 60)))
+        b.append(rand_bytes(rng, rng.randint(0, 60)))
+    exact = K.levenshtein_batch(a, b)
+    for bound in (0, 1, 3, 10, 25, 80):
+        got = K.levenshtein_batch_bounded(a, b, bound)
+        exp = np.minimum(exact, bound + 1)
+        assert (got == exp).all(), f"bound={bound}"
+
+
+def test_levenshtein_bounded_edges():
+    assert list(K.levenshtein_batch_bounded([b"", b"abc", b"abc"], [b"", b"", b"abc"], 5)) == [0, 3, 0]
+    # infeasible length gap clamps immediately
+    assert list(K.levenshtein_batch_bounded([b"aaaaaaaaaa"], [b""], 3)) == [4]
+
+
 def test_levenshtein_utf8_codepoints():
     assert list(K.levenshtein_utf8_batch(["αβγδ"], ["αγδ"])) == [1]
     # byte-level distance of the same pair is 2 (β is 2 bytes)
