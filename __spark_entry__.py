@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship record-linkage pipeline on sf0.001;
+``queries()`` / ``oracle_sql()`` expose the operator registry of
+sz_spark.queries (SURVEY.md §2 coverage + training-data operators),
+each oracle being the exact ANSI-SQL twin runnable by DuckDB on the
+pre-registered parquet views.
 """
 
 from __future__ import annotations
@@ -15,24 +15,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcripts -> blocking -> scoring -> entity clusters,
+    returned as (conv_id, cluster_id, sim stats) on sf0.001."""
+    from pyspark.sql import functions as F
+
+    from sz_spark.pipeline import PipelineConfig, run_pipeline
+    from sz_spark.transcripts import build_transcripts
+
+    transcripts = build_transcripts(spark, "/root/testdata/sf0.001")
+    stages = run_pipeline(spark, transcripts, PipelineConfig())
+    clusters = stages["clusters"]
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.join(sizes, "cluster_id").select(
+        "conv_id", "cluster_id", "cluster_size"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sz_spark.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sz_spark.queries import REGISTRY
+
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sz_spark.udfs import make_fingerprint_udf
+from sz_spark.udfs import make_band_keys_udf, make_fingerprint_udf
 
 DEFAULT_NDIM = 128
 # Blocking fingerprints use LARGER window widths than the engine default
@@ -50,6 +50,39 @@ def add_fingerprint(
     return docs.withColumn("_fp", fp_udf(F.col(text_col))).select(
         "*", F.col("_fp.hashes").alias("fp"), F.col("_fp.counts").alias("fp_counts")
     ).drop("_fp")
+
+
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "doc",
+    id_col: str = "conv_id",
+    ndim: int = DEFAULT_NDIM,
+    widths=DEFAULT_FP_WIDTHS,
+    seed: int = 0,
+    n_bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS,
+) -> DataFrame:
+    """docs -> (id, band_id, band_hash): the one-pass blocking stage.
+
+    Fingerprint + band hashing run fused inside a single pandas UDF
+    (see make_band_keys_udf) so only n_bands longs per doc cross the
+    Arrow boundary; the explode is a cheap JVM posexplode."""
+    keys = make_band_keys_udf(
+        ndim=ndim, widths=widths, seed=seed, n_bands=n_bands,
+        rows_per_band=rows_per_band,
+    )
+    # AQE sizes the upstream shuffle by BYTES, so a canonicalized corpus
+    # lands in a handful of partitions and the fingerprint UDF — whose
+    # CPU cost per byte the optimizer cannot see — would run nearly
+    # serial.  Spread docs across the cluster before entering Python.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(2 * parallelism)
+    return docs.select(
+        F.col(id_col), keys(F.col(text_col)).alias("bk")
+    ).select(
+        id_col,
+        F.posexplode("bk").alias("band_id", "band_hash"),
+    )
 
 
 def explode_bands(
@@ -170,13 +203,15 @@ def shingle_minhash_bands(
     return sigs.select(id_col, *band_cols)
 
 
-def shingle_minhash_bands_sql(
+def shingle_minhash_bands_ctes(
     docs_cte: str,
     shingle_words: int = 3,
     n_hashes: int = 8,
     n_bands: int = 4,
 ) -> str:
-    """DuckDB twin of :func:`shingle_minhash_bands`."""
+    """CTE chain (no leading WITH) ending in
+    ``final_bands(conv_id, band_0..band_{n_bands-1})`` — composable into
+    larger oracle statements."""
     rows_per_band = n_hashes // n_bands
     mh_exprs = ",\n       ".join(
         "list_min(list_transform(shingles, s -> md5('{k}|' || s))) AS mh_{k}".format(k=k)
@@ -191,8 +226,7 @@ def shingle_minhash_bands_sql(
         )
         for b in range(n_bands)
     )
-    return f"""
-WITH docs AS ({docs_cte}),
+    return f"""docs AS ({docs_cte}),
 sh AS (
   SELECT conv_id,
          list_transform(
@@ -205,8 +239,20 @@ sigs AS (
   SELECT conv_id,
          {mh_exprs}
   FROM sh WHERE len(shingles) > 0
-)
-SELECT conv_id,
-       {band_exprs}
-FROM sigs
-"""
+),
+final_bands AS (
+  SELECT conv_id,
+         {band_exprs}
+  FROM sigs
+)"""
+
+
+def shingle_minhash_bands_sql(
+    docs_cte: str,
+    shingle_words: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> str:
+    """DuckDB twin of :func:`shingle_minhash_bands`."""
+    ctes = shingle_minhash_bands_ctes(docs_cte, shingle_words, n_hashes, n_bands)
+    return f"WITH {ctes}\nSELECT * FROM final_bands"

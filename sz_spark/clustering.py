@@ -45,33 +45,84 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
+def union_find_local(edge_rows: list[tuple[str, str]]) -> dict[str, str]:
+    """Driver-side union-find with path compression + union by rank,
+    min-id roots.  The small-graph fast path of
+    :func:`connected_components`; also the test oracle (FIXTURES.md §4)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in edge_rows:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
     checkpoint=None,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges(src, dst) -> assignments(id, cluster_id).
+
+    Hybrid execution, mirroring the reference's two-tier small/large
+    scheduling (similarities/serial.hpp:3296-3395): the *match graph* of
+    an ER run is orders of magnitude smaller than the input (only
+    above-threshold pairs), so when it fits comfortably on the driver
+    (< local_threshold edges) a union-find there beats dozens of
+    distributed rounds.  Beyond that, alternating large-star/small-star
+    rounds run fully distributed, each round checkpointed so a failed
+    run resumes mid-stage.
 
     ``checkpoint``: optional callable ``(df, round_idx) -> df`` that
     persists the intermediate edge set and returns a lineage-truncated
     DataFrame (see sz_spark.lineage.CheckpointManager) — at 10^12-turn
     scale the iterative plan would otherwise grow unboundedly.
     """
+    spark = edges.sparkSession
     cur = edges.select(
         F.col("src").cast("string"), F.col("dst").cast("string")
     ).filter(F.col("src") != F.col("dst")).distinct()
 
+    n_edges = cur.limit(local_threshold + 1).count()
+    if n_edges <= local_threshold:
+        rows = [(r["src"], r["dst"]) for r in cur.collect()]
+        mapping = union_find_local(rows)
+        if not mapping:
+            return spark.createDataFrame([], "id string, cluster_id string")
+        return spark.createDataFrame(
+            list(mapping.items()), "id string, cluster_id string"
+        )
+
+    prev_sig = None
     for i in range(max_iterations):
         nxt = _small_star(_large_star(cur))
         if checkpoint is not None:
             nxt = checkpoint(nxt, i)
         else:
             nxt = nxt.localCheckpoint(eager=True)
-        # convergence: edge sets equal (both directions empty diff)
-        changed = nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        # cheap convergence signature: one aggregate instead of two
+        # anti-joins (count + order-insensitive XOR-hash of the distinct
+        # edge set; XOR cannot overflow under ANSI mode)
+        sig = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
         cur = nxt
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
 
     # after convergence every edge points node -> component minimum
     members = cur.select(
@@ -89,9 +140,14 @@ def clusters_with_singletons(
     assignments: DataFrame, all_ids: DataFrame, id_col: str = "conv_id"
 ) -> DataFrame:
     """Add singleton clusters for ids that matched nothing."""
+    # the match-graph assignments are usually orders of magnitude smaller
+    # than the corpus — broadcast when they provably fit, else sort-merge
+    asg = assignments
+    if asg.limit(3_000_001).count() <= 3_000_000:
+        asg = F.broadcast(asg)
     return (
         all_ids.select(F.col(id_col).alias("id"))
-        .join(assignments, "id", "left")
+        .join(asg, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),

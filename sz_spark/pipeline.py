@@ -50,11 +50,13 @@ def run_pipeline(
     docs = ckpt.stage("canonical_docs", lambda: canon.canonicalize(transcripts))
 
     def _bands():
-        with_fp = blocking.add_fingerprint(
-            docs, ndim=cfg.ndim, widths=cfg.fp_widths, seed=cfg.seed
-        )
-        return blocking.explode_bands(
-            with_fp, n_bands=cfg.n_bands, rows_per_band=cfg.rows_per_band
+        return blocking.minhash_bands(
+            docs,
+            ndim=cfg.ndim,
+            widths=cfg.fp_widths,
+            seed=cfg.seed,
+            n_bands=cfg.n_bands,
+            rows_per_band=cfg.rows_per_band,
         )
 
     bands = ckpt.stage("bands", _bands)
@@ -62,8 +64,9 @@ def run_pipeline(
     pairs = ckpt.stage("pairs", lambda: blocking.candidate_pairs(kept))
 
     def _scored():
-        with_texts = scoring.attach_texts(pairs, docs)
+        with_texts = scoring.attach_texts(pairs, docs, with_histogram=True)
         pruned = scoring.length_prune(with_texts, cfg.threshold)
+        pruned = scoring.histogram_prune(pruned, cfg.threshold)
         return scoring.score_pairs(
             pruned, threshold=None, bounded=cfg.threshold
         ).select("id_a", "id_b", "edit_distance", "sim")

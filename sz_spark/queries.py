@@ -1,0 +1,738 @@
+"""Registry backing __spark_entry__.queries() / oracle_sql().
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Oracle SQL runs in DuckDB over pre-registered views of the same parquet
+tables; the driver hash-compares values column-name-sorted, so every
+computed column is aliased identically on both sides and floats are
+rounded to the same decimals on both sides.
+
+Coverage maps SURVEY.md §2 (reference operator inventory) plus the
+training-data-pipeline operators (dedup / similarity search / text
+analysis / multimodal).  Entries with oracle None are genuinely
+non-SQL-expressible (reference-exact fingerprints, affine-gap DP,
+SimHash, hyperplane LSH) — their math is conformance-tested in
+tests/test_kernels.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sz_spark import ann, blocking, clustering, dedup, multimodal, scoring, textops
+from sz_spark import canonicalize as canon
+from sz_spark.transcripts import build_transcripts, transcripts_sql
+from sz_spark.udfs import (
+    bytesum_udf,
+    jaro_winkler_udf,
+    levenshtein_udf,
+    levenshtein_utf8_udf,
+    make_fingerprint_udf,
+    make_levenshtein_affine_udf,
+    make_nw_udf,
+    make_sw_udf,
+)
+
+ER_TAU = 0.94
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational / TPC-H-ish (scans, joins, aggregations, windows, top-k)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1995-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1995-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf):
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    sup = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q_REGION_SQL = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_events_hourly(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+Q_EVENTS_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar string kernels (SURVEY.md §2.2) — documents/part tables
+# ---------------------------------------------------------------------------
+
+
+def str_find_rfind(spark, sf):
+    d = _t(spark, sf, "documents")
+    needle = "table"
+    m = len(needle)
+    find_pos = F.instr("text", needle)
+    pos_rev = F.instr(F.reverse(F.col("text")), needle[::-1])
+    rfind_pos = F.when(pos_rev == 0, 0).otherwise(
+        F.length("text") - pos_rev - F.lit(m) + 2
+    )
+    return d.select(
+        "doc_id", find_pos.alias("find_pos"), rfind_pos.alias("rfind_pos")
+    )
+
+
+STR_FIND_SQL = """
+SELECT doc_id,
+       instr(text, 'table') AS find_pos,
+       CASE WHEN instr(reverse(text), 'elbat') = 0 THEN 0
+            ELSE length(text) - instr(reverse(text), 'elbat') - 5 + 2
+       END AS rfind_pos
+FROM documents
+"""
+
+
+def str_contains_filter(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.filter(
+        F.col("text").contains("spark") & ~F.col("text").startswith("key")
+    ).select("doc_id", "lang")
+
+
+STR_CONTAINS_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE contains(text, 'spark') AND NOT starts_with(text, 'key')
+"""
+
+
+def str_count_substring(spark, sf):
+    d = _t(spark, sf, "documents")
+    needle = "table"
+    cnt = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+    return d.select("doc_id", cnt.alias("n_occurrences"))
+
+
+STR_COUNT_SQL = """
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'table', ''))) / 5 AS BIGINT) AS n_occurrences
+FROM documents
+"""
+
+
+def str_split_explode_tokens(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+STR_SPLIT_SQL = """
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 20
+"""
+
+
+def str_partition(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.substring_index("text", "table", 1).alias("head"),
+    )
+
+
+STR_PARTITION_SQL = """
+SELECT doc_id, split_part(text, 'table', 1) AS head FROM documents
+"""
+
+
+def str_strip_translate(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.trim(F.substring(F.translate("text", "aeiou", "AEIOU"), 1, 40)).alias(
+            "translated_head"
+        ),
+    )
+
+
+STR_TRANSLATE_SQL = """
+SELECT doc_id, trim(substr(translate(text, 'aeiou', 'AEIOU'), 1, 40)) AS translated_head
+FROM documents
+"""
+
+
+def str_sha256(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("digest"))
+
+
+STR_SHA256_SQL = "SELECT doc_id, sha256(text) AS digest FROM documents"
+
+
+def str_bytesum(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", bytesum_udf(F.col("text")).alias("byte_sum"))
+
+
+STR_BYTESUM_SQL = """
+SELECT doc_id,
+       CAST(list_aggregate(list_transform(regexp_extract_all(text, '.'), x -> ord(x)), 'sum') AS BIGINT) AS byte_sum
+FROM documents
+"""
+
+
+def str_sort_topk(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.orderBy(F.asc("text"), F.asc("doc_id")).limit(50).select("doc_id", "text")
+
+
+STR_SORT_SQL = """
+SELECT doc_id, text FROM documents ORDER BY text ASC, doc_id ASC LIMIT 50
+"""
+
+
+def str_case_fold_sort(spark, sf):
+    p = _t(spark, sf, "part")
+    return (
+        p.select("p_partkey", F.lower("p_name").alias("folded"))
+        .orderBy(F.asc("folded"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+STR_CASEFOLD_SQL = """
+SELECT p_partkey, lower(p_name) AS folded
+FROM part ORDER BY folded ASC, p_partkey ASC LIMIT 100
+"""
+
+
+def str_intersect(spark, sf):
+    d = _t(spark, sf, "documents")
+    p = _t(spark, sf, "part")
+    doc_tokens = d.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    part_tokens = p.select(
+        F.explode(F.split("p_name", " ")).alias("token")
+    ).distinct()
+    return doc_tokens.join(part_tokens, "token").select("token")
+
+
+STR_INTERSECT_SQL = """
+SELECT token FROM
+  (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents)
+INTERSECT
+SELECT token FROM
+  (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS token FROM part)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ER pipeline queries (transcripts -> clusters), all oracle-checked
+# ---------------------------------------------------------------------------
+
+
+def _docs_cte() -> str:
+    return canon.canonicalize_sql(transcripts_sql()).strip()
+
+
+def tr_transcripts(spark, sf):
+    return build_transcripts(spark, sf)
+
+
+def tr_canonicalize(spark, sf):
+    return canon.canonicalize(build_transcripts(spark, sf))
+
+
+TR_CANON_SQL = canon.canonicalize_sql(transcripts_sql())
+
+
+def er_minhash_bands(spark, sf):
+    docs = canon.canonicalize(build_transcripts(spark, sf))
+    return blocking.shingle_minhash_bands(docs)
+
+
+def _md5_band_pairs(docs: DataFrame) -> DataFrame:
+    bands = blocking.shingle_minhash_bands(docs)
+    long = bands.select(
+        "conv_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_id"), F.col(f"band_{i}").alias("bh"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("conv_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh"))
+    a, b = long.alias("a"), long.alias("b")
+    return (
+        a.join(b, ["band_id", "bh"])
+        .filter(F.col("a.conv_id") < F.col("b.conv_id"))
+        .select(F.col("a.conv_id").alias("id_a"), F.col("b.conv_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def er_candidate_pairs(spark, sf):
+    docs = canon.canonicalize(build_transcripts(spark, sf))
+    return _md5_band_pairs(docs)
+
+
+def er_pair_scores_lev(spark, sf):
+    docs = canon.canonicalize(build_transcripts(spark, sf))
+    pairs = _md5_band_pairs(docs)
+    wt = scoring.attach_texts(pairs, docs)
+    scored = scoring.score_pairs(wt, bounded=ER_TAU)
+    return scored.filter(F.col("sim") >= ER_TAU).select(
+        "id_a", "id_b", "edit_distance", F.round("sim", 6).alias("sim")
+    )
+
+
+def er_pair_scores_jw(spark, sf):
+    docs = canon.canonicalize(build_transcripts(spark, sf))
+    pairs = _md5_band_pairs(docs)
+    wt = scoring.attach_texts(pairs, docs)
+    return wt.select(
+        "id_a",
+        "id_b",
+        F.round(jaro_winkler_udf(F.col("doc_a"), F.col("doc_b")), 6).alias("jw_sim"),
+    )
+
+
+def er_clusters(spark, sf):
+    docs = canon.canonicalize(build_transcripts(spark, sf))
+    pairs = _md5_band_pairs(docs)
+    wt = scoring.attach_texts(pairs, docs)
+    scored = scoring.score_pairs(wt, bounded=ER_TAU)
+    edges = scored.filter(F.col("sim") >= ER_TAU).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    asg = clustering.connected_components(edges)
+    return clustering.clusters_with_singletons(asg, docs, "conv_id")
+
+
+def er_cluster_sizes(spark, sf):
+    return (
+        er_clusters(spark, sf)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def er_bands_oracle() -> str:
+    docs = _docs_cte()
+    full = blocking.shingle_minhash_bands_sql(docs)
+    return full
+
+
+def er_pairs_oracle() -> str:
+    return f"""
+WITH {_er_pairs_cte()}
+SELECT id_a, id_b FROM cand
+"""
+
+
+def _er_pairs_cte() -> str:
+    """CTE chain ending in cand(id_a, id_b) + docs(conv_id, doc, ...)."""
+    docs = _docs_cte()
+    return f"""{blocking.shingle_minhash_bands_ctes(docs)},
+long AS (
+  SELECT conv_id, 0 AS band_id, band_0 AS bh FROM final_bands
+  UNION ALL SELECT conv_id, 1, band_1 FROM final_bands
+  UNION ALL SELECT conv_id, 2, band_2 FROM final_bands
+  UNION ALL SELECT conv_id, 3, band_3 FROM final_bands
+),
+cand AS (
+  SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+  FROM long a JOIN long b USING (band_id, bh)
+  WHERE a.conv_id < b.conv_id
+)"""
+
+
+def er_scores_oracle() -> str:
+    return f"""
+WITH {_er_pairs_cte()}
+SELECT id_a, id_b,
+       levenshtein(da.doc, db.doc) AS edit_distance,
+       round(1.0 - levenshtein(da.doc, db.doc)
+             / CAST(greatest(length(da.doc), length(db.doc)) AS DOUBLE), 6) AS sim
+FROM cand
+JOIN docs da ON da.conv_id = id_a
+JOIN docs db ON db.conv_id = id_b
+WHERE 1.0 - levenshtein(da.doc, db.doc)
+      / CAST(greatest(length(da.doc), length(db.doc)) AS DOUBLE) >= {ER_TAU}
+"""
+
+
+def er_jw_oracle() -> str:
+    return f"""
+WITH {_er_pairs_cte()}
+SELECT id_a, id_b,
+       round(jaro_winkler_similarity(da.doc, db.doc), 6) AS jw_sim
+FROM cand
+JOIN docs da ON da.conv_id = id_a
+JOIN docs db ON db.conv_id = id_b
+"""
+
+
+def er_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_er_pairs_cte()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst
+  FROM cand
+  JOIN docs da ON da.conv_id = id_a
+  JOIN docs db ON db.conv_id = id_b
+  WHERE 1.0 - levenshtein(da.doc, db.doc)
+        / CAST(greatest(length(da.doc), length(db.doc)) AS DOUBLE) >= {ER_TAU}
+),
+sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+reach AS (
+  SELECT conv_id AS id, conv_id AS comp FROM docs
+  UNION
+  SELECT s.dst AS id, r.comp
+  FROM reach r JOIN sym s ON r.id = s.src
+  WHERE r.comp < s.dst
+)
+SELECT id AS conv_id, min(comp) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
+def er_cluster_sizes_oracle() -> str:
+    inner = er_clusters_oracle().strip()
+    return f"""
+SELECT size, count(*) AS n_clusters FROM (
+  SELECT cluster_id, count(*) AS size FROM ({inner}) GROUP BY cluster_id
+) GROUP BY size
+"""
+
+
+# ---------------------------------------------------------------------------
+# reference-exact similarity engines (rows-only or DuckDB-oracled)
+# ---------------------------------------------------------------------------
+
+
+def _adjacent_doc_pairs(spark, sf) -> DataFrame:
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d2 = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("text_b")
+    )
+    return (
+        d.join(d2, "doc_id")
+        .select("doc_id", F.col("text").alias("text_a"), "text_b")
+    )
+
+
+def szs_levenshtein(spark, sf):
+    p = _adjacent_doc_pairs(spark, sf)
+    return p.select(
+        "doc_id", levenshtein_udf(F.col("text_a"), F.col("text_b")).alias("dist")
+    )
+
+
+SZS_LEV_SQL = """
+SELECT a.doc_id, levenshtein(a.text, b.text) AS dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def szs_levenshtein_utf8(spark, sf):
+    p = _adjacent_doc_pairs(spark, sf)
+    return p.select(
+        "doc_id", levenshtein_utf8_udf(F.col("text_a"), F.col("text_b")).alias("dist")
+    )
+
+
+def szs_levenshtein_affine(spark, sf):
+    lev = make_levenshtein_affine_udf(gap_open=2, gap_extend=1)
+    p = _adjacent_doc_pairs(spark, sf)
+    return p.select("doc_id", lev(F.col("text_a"), F.col("text_b")).alias("dist"))
+
+
+def szs_needleman_wunsch(spark, sf):
+    nw = make_nw_udf()
+    p = _adjacent_doc_pairs(spark, sf)
+    return p.select("doc_id", nw(F.col("text_a"), F.col("text_b")).alias("score"))
+
+
+def szs_smith_waterman(spark, sf):
+    sw = make_sw_udf()
+    p = _adjacent_doc_pairs(spark, sf)
+    return p.select("doc_id", sw(F.col("text_a"), F.col("text_b")).alias("score"))
+
+
+def szs_fingerprints(spark, sf):
+    d = _t(spark, sf, "documents")
+    fp = make_fingerprint_udf(ndim=128, widths=None, seed=0)  # reference defaults
+    return d.withColumn("_fp", fp(F.col("text"))).select(
+        "doc_id", F.col("_fp.hashes").alias("min_hashes"), F.col("_fp.counts").alias("min_counts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity search / text analysis / multimodal
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf):
+    return dedup.exact_duplicates(_t(spark, sf, "documents"))
+
+
+def dedup_ngram_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.5, max_shingle_freq=10**9
+    )
+
+
+def dedup_minhash_lsh(spark, sf):
+    d = _t(spark, sf, "documents").withColumnRenamed("doc_id", "conv_id")
+    bands = blocking.shingle_minhash_bands(d, text_col="text")
+    long = bands.select(
+        "conv_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_id"), F.col(f"band_{i}").alias("bh"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("conv_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh"))
+    a, b = long.alias("a"), long.alias("b")
+    return (
+        a.join(b, ["band_id", "bh"])
+        .filter(F.col("a.conv_id") < F.col("b.conv_id"))
+        .select(F.col("a.conv_id").alias("id_a"), F.col("b.conv_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def dedup_minhash_lsh_oracle() -> str:
+    docs = "SELECT doc_id AS conv_id, text AS doc FROM documents"
+    return f"""
+WITH {blocking.shingle_minhash_bands_ctes(docs)},
+long AS (
+  SELECT conv_id, 0 AS band_id, band_0 AS bh FROM final_bands
+  UNION ALL SELECT conv_id, 1, band_1 FROM final_bands
+  UNION ALL SELECT conv_id, 2, band_2 FROM final_bands
+  UNION ALL SELECT conv_id, 3, band_3 FROM final_bands
+)
+SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+FROM long a JOIN long b USING (band_id, bh)
+WHERE a.conv_id < b.conv_id
+"""
+
+
+def dedup_simhash(spark, sf):
+    return dedup.simhash_docs(_t(spark, sf, "documents"))
+
+
+def dedup_simhash_pairs(spark, sf):
+    sigs = dedup.simhash_docs(_t(spark, sf, "documents"))
+    return dedup.simhash_near_pairs(sigs, max_hamming=6)
+
+
+def dedup_embedding_cosine(spark, sf):
+    # corpus max pairwise cosine is ~0.48 — 0.4 keeps the check non-trivial
+    return dedup.embedding_near_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
+def ann_cosine_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.cosine_topk(e, q, k=5)
+
+
+def ann_lsh_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.lsh_topk(e, q, dim=64, k=5)
+
+
+def text_lang_id(spark, sf):
+    return textops.lang_id(_t(spark, sf, "documents"))
+
+
+def text_quality(spark, sf):
+    return textops.quality_score(_t(spark, sf, "documents"))
+
+
+def text_token_count(spark, sf):
+    return textops.token_counts(_t(spark, sf, "documents"))
+
+
+def text_doc_fingerprint(spark, sf):
+    return textops.doc_fingerprint(_t(spark, sf, "documents"))
+
+
+def mm_decode_metadata(spark, sf):
+    d = _t(spark, sf, "documents")
+    payloads = multimodal.synthesize_binary_column(d)
+    return multimodal.decode_metadata(payloads.select("doc_id", "payload"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    # relational
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "q_region_revenue": (q_region_revenue, Q_REGION_SQL),
+    "q_events_hourly": (q_events_hourly, Q_EVENTS_SQL),
+    # scalar string kernels
+    "str_find_rfind": (str_find_rfind, STR_FIND_SQL),
+    "str_contains_filter": (str_contains_filter, STR_CONTAINS_SQL),
+    "str_count_substring": (str_count_substring, STR_COUNT_SQL),
+    "str_split_explode_tokens": (str_split_explode_tokens, STR_SPLIT_SQL),
+    "str_partition": (str_partition, STR_PARTITION_SQL),
+    "str_strip_translate": (str_strip_translate, STR_TRANSLATE_SQL),
+    "str_sha256": (str_sha256, STR_SHA256_SQL),
+    "str_bytesum": (str_bytesum, STR_BYTESUM_SQL),
+    "str_sort_topk": (str_sort_topk, STR_SORT_SQL),
+    "str_case_fold_sort": (str_case_fold_sort, STR_CASEFOLD_SQL),
+    "str_intersect": (str_intersect, STR_INTERSECT_SQL),
+    # ER pipeline
+    "tr_transcripts": (tr_transcripts, transcripts_sql()),
+    "tr_canonicalize": (tr_canonicalize, TR_CANON_SQL),
+    "er_minhash_bands": (er_minhash_bands, er_bands_oracle()),
+    "er_candidate_pairs": (er_candidate_pairs, er_pairs_oracle()),
+    "er_pair_scores_lev": (er_pair_scores_lev, er_scores_oracle()),
+    "er_pair_scores_jw": (er_pair_scores_jw, er_jw_oracle()),
+    "er_clusters": (er_clusters, er_clusters_oracle()),
+    "er_cluster_sizes": (er_cluster_sizes, er_cluster_sizes_oracle()),
+    # reference-exact engines
+    "szs_levenshtein": (szs_levenshtein, SZS_LEV_SQL),
+    "szs_levenshtein_utf8": (szs_levenshtein_utf8, SZS_LEV_SQL),  # ASCII corpus
+    "szs_levenshtein_affine": (szs_levenshtein_affine, None),
+    "szs_needleman_wunsch": (szs_needleman_wunsch, None),
+    "szs_smith_waterman": (szs_smith_waterman, None),
+    "szs_fingerprints": (szs_fingerprints, None),
+    # dedup / ANN / text analysis / multimodal
+    "dedup_exact": (dedup_exact, dedup.EXACT_DUP_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, dedup.ngram_jaccard_sql(threshold=0.5)),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_oracle()),
+    "dedup_simhash": (dedup_simhash, None),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, None),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, dedup.embedding_near_pairs_sql(0.4)),
+    "ann_cosine_topk": (ann_cosine_topk, ann.cosine_topk_sql(10, 5)),
+    "ann_lsh_topk": (ann_lsh_topk, None),
+    "text_lang_id": (text_lang_id, textops.LANG_ID_SQL),
+    "text_quality": (text_quality, textops.QUALITY_SQL),
+    "text_token_count": (text_token_count, textops.TOKEN_COUNTS_SQL),
+    "text_doc_fingerprint": (text_doc_fingerprint, textops.DOC_FINGERPRINT_SQL),
+    "mm_decode_metadata": (mm_decode_metadata, None),
+}

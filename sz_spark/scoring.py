@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sz_spark.udfs import (
+    byte_histogram_udf,
     jaro_winkler_udf,
     levenshtein_udf,
     make_bounded_levenshtein_udf,
@@ -34,22 +35,49 @@ def attach_texts(
     docs: DataFrame,
     id_col: str = "conv_id",
     text_col: str = "doc",
+    with_histogram: bool = False,
 ) -> DataFrame:
-    """pairs(id_a, id_b) ⋈ docs -> (id_a, id_b, doc_a, doc_b, len_a, len_b)."""
+    """pairs(id_a, id_b) ⋈ docs -> (id_a, id_b, doc_a, doc_b, len_a, len_b
+    [, hist_a, hist_b])."""
     slim = docs.select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_doc"),
         F.length(text_col).alias("_len"),
+        *(
+            [byte_histogram_udf(F.col(text_col)).alias("_hist")]
+            if with_histogram
+            else []
+        ),
     )
     out = (
         pairs.join(slim.withColumnRenamed("_id", "id_a"), "id_a")
         .withColumnRenamed("_doc", "doc_a")
         .withColumnRenamed("_len", "len_a")
+        .withColumnRenamed("_hist", "hist_a")
         .join(slim.withColumnRenamed("_id", "id_b"), "id_b")
         .withColumnRenamed("_doc", "doc_b")
         .withColumnRenamed("_len", "len_b")
+        .withColumnRenamed("_hist", "hist_b")
     )
     return out
+
+
+def histogram_prune(pairs_with_hists: DataFrame, threshold: float) -> DataFrame:
+    """Counting-filter prune: L1 distance of byte histograms / 2 is a
+    lower bound on edit distance, so any pair whose histogram gap alone
+    pushes similarity below τ is dropped JVM-side (whole-stage-codegen
+    zip_with/aggregate, no Python).  At corpus scale this removes the
+    bulk of band-collision candidates — near-identical content with
+    different entity salts — before the expensive DP."""
+    l1 = F.aggregate(
+        F.zip_with("hist_a", "hist_b", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    max_len = F.greatest("len_a", "len_b")
+    return pairs_with_hists.filter(
+        (l1 / 2) <= ((F.lit(1.0) - F.lit(threshold)) * max_len)
+    ).drop("hist_a", "hist_b")
 
 
 def length_prune(pairs_with_texts: DataFrame, threshold: float) -> DataFrame:
@@ -79,6 +107,12 @@ def score_pairs(
         lev = make_bounded_levenshtein_udf(bounded)
     else:
         lev = levenshtein_udf
+    # AQE coalesces the (byte-wise tiny) pair shuffle down to a couple of
+    # partitions, which would serialize the pandas-UDF DP — its CPU cost
+    # is invisible to the optimizer.  Spread the batch explicitly across
+    # the cluster before entering Python.
+    parallelism = pairs_with_texts.sparkSession.sparkContext.defaultParallelism
+    pairs_with_texts = pairs_with_texts.repartition(2 * parallelism)
     out = pairs_with_texts.withColumn(
         "edit_distance", lev(F.col("doc_a"), F.col("doc_b"))
     ).withColumn(

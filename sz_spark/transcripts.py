@@ -98,9 +98,17 @@ def build_transcripts(
     ``entity_id`` column for evaluation; the production pipeline never
     reads it.
     """
-    docs = load_documents(spark, sf_dir).select(
-        "doc_id", F.split("text", " ").alias("toks")
+    return build_transcripts_from_documents(
+        load_documents(spark, sf_dir), with_entity_id
     )
+
+
+def build_transcripts_from_documents(
+    documents: DataFrame, with_entity_id: bool = False
+) -> DataFrame:
+    """Same derivation over an arbitrary documents(doc_id, text) frame —
+    the bench uses this with a replicated corpus to scale the input."""
+    docs = documents.select("doc_id", F.split("text", " ").alias("toks"))
 
     base = _turns_from_tokens(docs, "c")
 

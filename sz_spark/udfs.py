@@ -184,9 +184,60 @@ def bytesum_udf(texts: pd.Series) -> pd.Series:
 def simhash64_udf(token_arrays: pd.Series) -> pd.Series:
     """64-bit SimHash over a pre-tokenized array column; returned as the
     signed-int64 bit pattern (Spark has no u64)."""
-    toks = [[t.encode() for t in (arr or [])] for arr in token_arrays]
+    toks = [
+        [] if arr is None else [t.encode() for t in arr] for arr in token_arrays
+    ]
     sigs = K.simhash64(toks)
     return pd.Series(sigs.astype("int64"))
+
+
+@pandas_udf(T.ArrayType(T.IntegerType()))
+def byte_histogram_udf(texts: pd.Series) -> pd.Series:
+    """96-bin histogram of printable-ASCII bytes (0x20..0x7F), used by the
+    counting-filter prune: L1(hist_a, hist_b)/2 is a lower bound on edit
+    distance, so pairs whose histogram gap alone exceeds the tau bound
+    never enter the DP."""
+    import numpy as np
+
+    out = []
+    for t in _to_bytes(texts):
+        arr = np.frombuffer(t, dtype=np.uint8)
+        h = np.bincount(arr, minlength=256)[32:128].astype("int32")
+        out.append(h.tolist())
+    return pd.Series(out)
+
+
+def make_band_keys_udf(
+    ndim: int = 128,
+    widths=None,
+    seed: int = 0,
+    n_bands: int = 32,
+    rows_per_band: int = 4,
+):
+    """text -> array<long> of LSH band keys, computed entirely inside one
+    Arrow batch: fingerprint (reference math) + per-band splitmix64 hash
+    combine.  Returning 32 longs instead of the 2x128-long fingerprint
+    struct cuts the Python->JVM Arrow transfer ~8x and removes the
+    JVM-side slice/hash work — the fp+bands stage was transfer-bound.
+    """
+    assert n_bands * rows_per_band <= ndim
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        h, _c = K.fingerprints(_to_bytes(texts), ndim=ndim, widths=widths, seed=seed)
+        n = h.shape[0]
+        out = np.empty((n, n_bands), dtype=np.uint64)
+        for b in range(n_bands):
+            acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+            for r in range(rows_per_band):
+                acc = K.splitmix64(acc ^ h[:, b * rows_per_band + r].astype(np.uint64))
+            out[:, b] = acc
+        signed = out.astype(np.int64)
+        return pd.Series(list(signed))
+
+    return band_keys
 
 
 def band_columns(fp_col: str, n_bands: int, rows_per_band: int):

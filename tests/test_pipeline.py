@@ -1,0 +1,79 @@
+"""End-to-end pipeline gates (BASELINE.json):
+* pairwise F1 >= 0.99 on labeled pairs at the pipeline's blocking key
+* deterministic output across parallelism levels (the reference's
+  backend-differential sweep, test/sz_helpers.py:1360 — same clusters at
+  local[2] vs local[8] / different shuffle-partition counts)
+* checkpoint resume reproduces identical output
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from sz_spark.session import build_session
+
+    s = build_session(master="local[8]", shuffle_partitions=8, app_name="pipe-tests")
+    yield s
+    s.stop()
+
+
+def test_f1_gate(spark):
+    from sz_spark.pipeline import PipelineConfig, run_on_sf_dir
+
+    res = run_on_sf_dir(spark, SF_DIR, PipelineConfig())
+    m = res["metrics"]
+    assert m["precision"] >= 0.99, m
+    assert m["recall"] >= 0.99, m
+    assert m["f1"] >= 0.99, m
+
+
+def test_deterministic_across_parallelism(spark):
+    """Same clusters regardless of shuffle-partition count (stand-in for
+    executor-count invariance)."""
+    from pyspark.sql import functions as F
+
+    from sz_spark.pipeline import PipelineConfig, run_pipeline
+    from sz_spark.transcripts import build_transcripts
+
+    outs = []
+    for n_part in (3, 17):
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        tr = build_transcripts(spark, SF_DIR)
+        stages = run_pipeline(spark, tr, PipelineConfig())
+        outs.append(
+            stages["clusters"]
+            .orderBy("conv_id")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert outs[0].equals(outs[1])
+
+
+def test_resume_identical(spark, tmp_path):
+    from sz_spark.pipeline import PipelineConfig, run_pipeline
+    from sz_spark.transcripts import build_transcripts
+
+    ck = str(tmp_path / "ckpt")
+    tr = build_transcripts(spark, SF_DIR)
+    cfg = PipelineConfig(checkpoint_dir=ck)
+    r1 = run_pipeline(spark, tr, cfg)
+    c1 = r1["clusters"].orderBy("conv_id").toPandas().reset_index(drop=True)
+    # simulated mid-run failure: later stages lost, earlier kept
+    for stage in ("pairs", "scored", "clusters"):
+        shutil.rmtree(os.path.join(ck, stage), ignore_errors=True)
+    r2 = run_pipeline(spark, tr, cfg)
+    c2 = r2["clusters"].orderBy("conv_id").toPandas().reset_index(drop=True)
+    assert c1.equals(c2)
+    # lineage metrics exist per stage
+    metrics = r2["clusters"].sparkSession.read.parquet(os.path.join(ck, "_metrics"))
+    stages_logged = {r["stage"] for r in metrics.select("stage").distinct().collect()}
+    assert {"canonical_docs", "bands", "pairs", "scored"} <= stages_logged
