@@ -16,8 +16,10 @@ tests/test_kernels.py instead.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from sz_spark import ann, blocking, clustering, dedup, multimodal, scoring, textops
 from sz_spark import canonicalize as canon
@@ -152,6 +154,30 @@ SELECT event_type, date_trunc('hour', ts) AS hour,
        count(*) AS n, round(sum(value), 4) AS sum_value
 FROM events
 GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_window_rank(spark, sf):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("price_rank", F.row_number().over(w))
+        .filter(F.col("price_rank") <= 3)
+        .select("o_custkey", "o_orderkey", "price_rank")
+    )
+
+
+Q_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, CAST(price_rank AS INT) AS price_rank FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank
+  FROM orders
+) WHERE price_rank <= 3
 """
 
 
@@ -327,6 +353,113 @@ INTERSECT
 SELECT token FROM
   (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS token FROM part)
 """
+
+
+def str_count_byteset(spark, sf):
+    """count_byteset analog (find.h byteset ops): vowels per doc."""
+    d = _t(spark, sf, "documents")
+    cnt = F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))
+    return d.select("doc_id", cnt.alias("n_vowels"))
+
+
+STR_COUNT_BYTESET_SQL = """
+SELECT doc_id,
+       length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_vowels
+FROM documents
+"""
+
+
+def str_find_first_last_of(spark, sf):
+    """find_first_of / find_last_of analogs over the vowel byteset."""
+    d = _t(spark, sf, "documents")
+    has = F.col("text").rlike("[aeiou]")
+    first_of = F.when(
+        has, F.length(F.regexp_extract("text", "^[^aeiou]*", 0)) + 1
+    ).otherwise(0)
+    last_of = F.when(
+        has,
+        F.length("text")
+        - F.length(F.regexp_extract(F.reverse(F.col("text")), "^[^aeiou]*", 0)),
+    ).otherwise(0)
+    return d.select(
+        "doc_id", first_of.alias("first_of_pos"), last_of.alias("last_of_pos")
+    )
+
+
+STR_FIRST_LAST_OF_SQL = """
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[aeiou]')
+            THEN length(regexp_extract(text, '^[^aeiou]*')) + 1 ELSE 0 END AS first_of_pos,
+       CASE WHEN regexp_matches(text, '[aeiou]')
+            THEN length(text) - length(regexp_extract(reverse(text), '^[^aeiou]*')) ELSE 0 END AS last_of_pos
+FROM documents
+"""
+
+
+def str_split_byteset(spark, sf):
+    """split_byteset analog: fragments between vowels (empties kept,
+    matching both engines' trailing-empty semantics)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.size(F.split("text", "[aeiou]")).alias("n_fragments")
+    )
+
+
+STR_SPLIT_BYTESET_SQL = """
+SELECT doc_id, len(string_split_regex(text, '[aeiou]')) AS n_fragments
+FROM documents
+"""
+
+
+def str_utf8_counts(spark, sf):
+    """utf8_count vs byte length (utf8_runes.h analog) on a synthesized
+    Unicode column — codepoints and bytes must diverge."""
+    d = _t(spark, sf, "documents")
+    u = F.concat(F.substring("text", 1, 20), F.lit(" αβ∆"))
+    return d.select(
+        "doc_id",
+        F.length(u).alias("n_codepoints"),
+        F.octet_length(u).alias("n_bytes"),
+    )
+
+
+STR_UTF8_SQL = """
+SELECT doc_id,
+       length(substr(text, 1, 20) || ' αβ∆') AS n_codepoints,
+       CAST(octet_length(encode(substr(text, 1, 20) || ' αβ∆')) AS INT) AS n_bytes
+FROM documents
+"""
+
+
+def szs_hash_multiseed(spark, sf):
+    """sz.hash_multiseed analog (hash.h:173): one text hashed under many
+    seeds at once — the feature-hashing primitive.  Interchangeable-PRF
+    semantics per SURVEY.md §2.7 (values are ours, not sz_hash's)."""
+    from sz_spark.kernels import hash_bytes_u64
+
+    seeds = (0, 1, 42, 314159)
+
+    @pandas_udf("array<long>")
+    def multiseed(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            b = (t or "").encode()
+            out.append(
+                [np.int64(np.uint64(hash_bytes_u64(b, s))) for s in seeds]
+            )
+        return pd.Series(out)
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", multiseed(F.col("text")).alias("hashes"))
+
+
+def q_sample_seeded(spark, sf):
+    """Strs.sample analog: seeded deterministic sample (rows-only —
+    sampling is engine-specific by nature)."""
+    d = _t(spark, sf, "documents")
+    return d.sample(fraction=0.1, seed=42).select("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -693,6 +826,8 @@ REGISTRY: dict[str, tuple] = {
     "q3_top_orders": (q3_top_orders, Q3_SQL),
     "q_region_revenue": (q_region_revenue, Q_REGION_SQL),
     "q_events_hourly": (q_events_hourly, Q_EVENTS_SQL),
+    "q_window_rank": (q_window_rank, Q_WINDOW_SQL),
+    "q_sample_seeded": (q_sample_seeded, None),
     # scalar string kernels
     "str_find_rfind": (str_find_rfind, STR_FIND_SQL),
     "str_contains_filter": (str_contains_filter, STR_CONTAINS_SQL),
@@ -705,6 +840,11 @@ REGISTRY: dict[str, tuple] = {
     "str_sort_topk": (str_sort_topk, STR_SORT_SQL),
     "str_case_fold_sort": (str_case_fold_sort, STR_CASEFOLD_SQL),
     "str_intersect": (str_intersect, STR_INTERSECT_SQL),
+    "str_count_byteset": (str_count_byteset, STR_COUNT_BYTESET_SQL),
+    "str_find_first_last_of": (str_find_first_last_of, STR_FIRST_LAST_OF_SQL),
+    "str_split_byteset": (str_split_byteset, STR_SPLIT_BYTESET_SQL),
+    "str_utf8_counts": (str_utf8_counts, STR_UTF8_SQL),
+    "szs_hash_multiseed": (szs_hash_multiseed, None),
     # ER pipeline
     "tr_transcripts": (tr_transcripts, transcripts_sql()),
     "tr_canonicalize": (tr_canonicalize, TR_CANON_SQL),
