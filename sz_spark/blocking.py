@@ -113,32 +113,56 @@ def explode_bands(
     )
 
 
-def cap_blocks(bands: DataFrame, max_block_size: int = 64) -> tuple[DataFrame, DataFrame]:
-    """Drop oversized blocks (stop-bands).  Returns (kept, suppressed_stats).
+def cap_blocks(
+    bands: DataFrame,
+    max_block_size: int = 64,
+    salt_up_to: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Tame oversized blocks (stop-bands).  Returns (kept, suppressed_stats).
 
     Mirrors the reference's refusal to let one giant work item starve the
-    pool (similarities/serial.hpp:3296-3395 two-tier scheduling): blocks
-    with > max_block_size members contribute O(size^2) candidate pairs
-    with near-zero precision value, so they are suppressed and *logged*
-    (never silently).
+    pool (similarities/serial.hpp:3296-3395 two-tier scheduling): a block
+    of size s contributes O(s^2) candidate pairs with near-zero precision
+    value.  Three tiers:
+
+    * s <= max_block_size            — kept intact (salt 0)
+    * max < s <= salt_up_to          — SALTED: members split across
+      ceil(s/max) deterministic salts (xxhash64 of the id), bounding
+      per-block work at O(max^2 * n_salts); true near-dup pairs live in
+      small blocks and are never salted, so recall of the F1 gate is
+      unaffected while hot bands stop dominating the shuffle
+    * s > salt_up_to                 — suppressed and *logged* (never
+      silently)
+
+    ``salt_up_to=0`` disables salting (drop-only behavior).
     """
-    sizes = bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("block_size"))
-    kept = (
-        bands.join(sizes, ["band_id", "band_hash"])
-        .filter(F.col("block_size") <= max_block_size)
-        .drop("block_size")
+    sizes = bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("block_size")
     )
-    suppressed = sizes.filter(F.col("block_size") > max_block_size)
+    joined = bands.join(sizes, ["band_id", "band_hash"])
+    drop_above = salt_up_to if salt_up_to > max_block_size else max_block_size
+    kept = joined.filter(F.col("block_size") <= drop_above)
+    id_col = [c for c in bands.columns if c not in ("band_id", "band_hash")][0]
+    n_salts = F.ceil(F.col("block_size") / F.lit(max_block_size)).cast("long")
+    kept = kept.withColumn(
+        "salt",
+        F.when(
+            F.col("block_size") <= max_block_size, F.lit(0).cast("long")
+        ).otherwise(F.pmod(F.xxhash64(F.col(id_col)), n_salts)),
+    ).drop("block_size")
+    suppressed = sizes.filter(F.col("block_size") > drop_above)
     return kept, suppressed
 
 
 def candidate_pairs(bands: DataFrame, id_col: str = "conv_id") -> DataFrame:
     """Within-block pairs, lower-triangle only (a < b — the reference's
-    symmetric-mirror trick, serial.hpp:3356-3360), deduped across bands."""
+    symmetric-mirror trick, serial.hpp:3356-3360), deduped across bands.
+    Joins on the salted key when cap_blocks added one."""
+    keys = ["band_id", "band_hash"] + (["salt"] if "salt" in bands.columns else [])
     a = bands.alias("a")
     b = bands.alias("b")
     return (
-        a.join(b, ["band_id", "band_hash"])
+        a.join(b, keys)
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

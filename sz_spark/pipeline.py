@@ -34,6 +34,9 @@ class PipelineConfig:
     # guaranteed margin on both sides
     threshold: float = 0.94
     max_block_size: int = 64
+    # blocks between max_block_size and salt_up_to get salted sub-keys
+    # (bounded O(max^2) work per salt) instead of being dropped
+    salt_up_to: int = 1024
     checkpoint_dir: str | None = None
     cc_max_iterations: int = 20
 
@@ -60,7 +63,9 @@ def run_pipeline(
         )
 
     bands = ckpt.stage("bands", _bands)
-    kept, suppressed = blocking.cap_blocks(bands, cfg.max_block_size)
+    kept, suppressed = blocking.cap_blocks(
+        bands, cfg.max_block_size, salt_up_to=cfg.salt_up_to
+    )
     pairs = ckpt.stage("pairs", lambda: blocking.candidate_pairs(kept))
 
     def _scored():

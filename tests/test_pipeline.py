@@ -58,6 +58,34 @@ def test_deterministic_across_parallelism(spark):
     assert outs[0].equals(outs[1])
 
 
+def test_block_salting(spark):
+    """Oversized blocks get salted sub-keys (bounded pair counts), small
+    blocks stay intact, huge blocks are suppressed and logged."""
+    from pyspark.sql import functions as F
+
+    from sz_spark import blocking
+
+    rows = (
+        [("small%d" % i, 0, 111) for i in range(5)]
+        + [("hot%d" % i, 0, 222) for i in range(40)]
+        + [("huge%d" % i, 0, 333) for i in range(200)]
+    )
+    bands = spark.createDataFrame(rows, "conv_id string, band_id int, band_hash long")
+    kept, suppressed = blocking.cap_blocks(bands, max_block_size=8, salt_up_to=64)
+    sup = suppressed.collect()
+    assert len(sup) == 1 and sup[0]["block_size"] == 200
+    k = kept.toPandas()
+    assert (k[k.conv_id.str.startswith("small")]["salt"] == 0).all()
+    hot = k[k.conv_id.str.startswith("hot")]
+    assert hot["salt"].nunique() > 1  # split across salts
+    pairs = blocking.candidate_pairs(kept).toPandas()
+    # pairs only within the same salted sub-block: strictly fewer than 40C2
+    n_hot_pairs = len(pairs[pairs.id_a.str.startswith("hot")])
+    assert 0 < n_hot_pairs < 40 * 39 / 2
+    # suppressed block contributes no pairs at all
+    assert not pairs.id_a.str.startswith("huge").any()
+
+
 def test_resume_identical(spark, tmp_path):
     from sz_spark.pipeline import PipelineConfig, run_pipeline
     from sz_spark.transcripts import build_transcripts
