@@ -61,12 +61,22 @@ def minhash_bands(
     seed: int = 0,
     n_bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS,
+    prefix_len: int = 32,
 ) -> DataFrame:
     """docs -> (id, band_id, band_hash): the one-pass blocking stage.
 
     Fingerprint + band hashing run fused inside a single pandas UDF
     (see make_band_keys_udf) so only n_bands longs per doc cross the
-    Arrow boundary; the explode is a cheap JVM posexplode."""
+    Arrow boundary; the explode is a cheap JVM posexplode.
+
+    Layered blocking: a deterministic PREFIX key (band_id = -1, hash of
+    the first ``prefix_len`` bytes) is unioned with the minhash bands —
+    the ER-classic "block on a strong attribute" key.  Short documents
+    have too few rolling windows for reliable band agreement (measured:
+    14/3753 true pairs at sf0.1 were 2-turn docs missed by all 32
+    bands); their shared conversation-handle prefix recovers them.
+    Block caps/salting apply to prefix blocks like any other.
+    ``prefix_len=0`` disables the layer."""
     keys = make_band_keys_udf(
         ndim=ndim, widths=widths, seed=seed, n_bands=n_bands,
         rows_per_band=rows_per_band,
@@ -77,12 +87,22 @@ def minhash_bands(
     # serial.  Spread docs across the cluster before entering Python.
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(2 * parallelism)
-    return docs.select(
+    bands = docs.select(
         F.col(id_col), keys(F.col(text_col)).alias("bk")
     ).select(
         id_col,
         F.posexplode("bk").alias("band_id", "band_hash"),
     )
+    if prefix_len > 0:
+        prefix = docs.select(
+            F.col(id_col),
+            F.lit(-1).alias("band_id"),
+            F.xxhash64(F.substring(F.col(text_col), 1, prefix_len)).alias(
+                "band_hash"
+            ),
+        )
+        bands = bands.unionByName(prefix)
+    return bands
 
 
 def explode_bands(
