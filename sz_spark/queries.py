@@ -702,6 +702,26 @@ def szs_smith_waterman(spark, sf):
     return p.select("doc_id", sw(F.col("text_a"), F.col("text_b")).alias("score"))
 
 
+def szs_nw_class_costs(spark, sf):
+    """NW with a byte->class compacted substitution matrix — the
+    error_costs_32x32_t surface (stringzillas.h:339-397; presets like
+    BLOSUM62/NUC.4.4 plug in the same way).  Here: a DNA-style 2-class
+    alphabet (vowels vs consonants) with NUC.4.4-style +5/-4 costs."""
+    import numpy as np
+
+    from sz_spark.kernels import expand_class_costs
+
+    byte_to_class = np.zeros(256, dtype=np.int64)
+    for ch in b"aeiou":
+        byte_to_class[ch] = 1
+    class_costs = np.full((32, 32), -4, dtype=np.int64)
+    np.fill_diagonal(class_costs, 5)
+    subs = expand_class_costs(byte_to_class, class_costs)
+    nw = make_nw_udf(substitution=subs, gap_open=-2, gap_extend=-1)
+    p = _adjacent_doc_pairs(spark, sf)
+    return p.select("doc_id", nw(F.col("text_a"), F.col("text_b")).alias("score"))
+
+
 def szs_fingerprints(spark, sf):
     d = _t(spark, sf, "documents")
     fp = make_fingerprint_udf(ndim=128, widths=None, seed=0)  # reference defaults
@@ -860,6 +880,7 @@ REGISTRY: dict[str, tuple] = {
     "szs_levenshtein_affine": (szs_levenshtein_affine, None),
     "szs_needleman_wunsch": (szs_needleman_wunsch, None),
     "szs_smith_waterman": (szs_smith_waterman, None),
+    "szs_nw_class_costs": (szs_nw_class_costs, None),
     "szs_fingerprints": (szs_fingerprints, None),
     # dedup / ANN / text analysis / multimodal
     "dedup_exact": (dedup_exact, dedup.EXACT_DUP_SQL),
