@@ -23,6 +23,12 @@ from pyspark.sql import functions as F
 
 from sz_spark.udfs import make_band_keys_udf, make_fingerprint_udf
 
+# Measured: with the layered prefix key, candidate recall is 1.00000 at
+# sf0.001 AND sf0.1 for 64, 96, and 128 dims with near-identical
+# candidate counts — 64 dims would halve the fingerprint cost on THIS
+# corpus, but 128 stays the default: it is the robust setting for
+# corpora without a strong prefix attribute, where the minhash bands
+# carry recall alone.
 DEFAULT_NDIM = 128
 # Blocking fingerprints use LARGER window widths than the engine default
 # {3..31}: tiny windows over a small vocabulary are shared by every

@@ -24,10 +24,10 @@ from sz_spark.transcripts import build_transcripts
 
 @dataclass
 class PipelineConfig:
-    ndim: int = 128
+    ndim: int = blocking.DEFAULT_NDIM
     fp_widths: tuple = blocking.DEFAULT_FP_WIDTHS
-    n_bands: int = 32
-    rows_per_band: int = 4
+    n_bands: int = blocking.DEFAULT_BANDS
+    rows_per_band: int = blocking.DEFAULT_ROWS
     seed: int = 0
     # true variants sit >= 0.96, cross-entity pairs <= 0.905 by the salt
     # construction (sz_spark.transcripts docstring) — 0.94 splits with

@@ -1,0 +1,113 @@
+"""Seeded randomized property tests (hypothesis) — the reference's
+property-testing methodology (SURVEY.md §5 item 4: determinism,
+identical-input ⇒ identical-output, metric axioms, merge laws)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sz_spark import kernels as K
+
+BYTES = st.binary(min_size=0, max_size=80)
+SHORT_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(a=BYTES, b=BYTES)
+def test_levenshtein_metric_axioms(a, b):
+    d_ab = int(K.levenshtein_batch([a], [b])[0])
+    d_ba = int(K.levenshtein_batch([b], [a])[0])
+    assert d_ab == d_ba  # symmetry
+    assert d_ab >= abs(len(a) - len(b))  # length lower bound
+    assert d_ab <= max(len(a), len(b))  # unit-cost upper bound
+    assert (d_ab == 0) == (a == b)  # identity of indiscernibles
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=BYTES, b=BYTES, c=BYTES)
+def test_levenshtein_triangle_inequality(a, b, c):
+    d = K.levenshtein_batch([a, b, a], [b, c, c])
+    assert d[2] <= d[0] + d[1]
+
+
+@settings(max_examples=50, deadline=None)
+@given(a=BYTES, b=BYTES, bound=st.integers(min_value=0, max_value=90))
+def test_bounded_levenshtein_consistent(a, b, bound):
+    exact = int(K.levenshtein_batch([a], [b])[0])
+    got = int(K.levenshtein_batch_bounded([a], [b], bound)[0])
+    assert got == min(exact, bound + 1)
+
+
+@settings(max_examples=50, deadline=None)
+@given(t=BYTES, seed=st.integers(min_value=0, max_value=2**32))
+def test_fingerprint_deterministic_and_counts_bounded(t, seed):
+    h1, c1 = K.fingerprints([t], ndim=8, seed=seed)
+    h2, c2 = K.fingerprints([t, t], ndim=8, seed=seed)
+    assert (h1[0] == h2[0]).all() and (h1[0] == h2[1]).all()
+    assert (c1[0] == c2[0]).all()
+    widths = K.dim_window_widths(8)
+    for d in range(8):
+        w = int(widths[d])
+        if len(t) < w:
+            assert h1[0, d] == K.MAX_HASH_U32 and c1[0, d] == 0
+        else:
+            n_windows = len(t) - w + 1
+            assert 1 <= c1[0, d] <= n_windows
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=BYTES, b=BYTES)
+def test_sketch_merge_commutative_idempotent_bounds(a, b):
+    ha, ca = K.fingerprints([a], ndim=8)
+    hb, cb = K.fingerprints([b], ndim=8)
+    m1 = K.merge_count_min_sketches(ha, ca, hb, cb)
+    m2 = K.merge_count_min_sketches(hb, cb, ha, ca)
+    assert (m1[0] == m2[0]).all() and (m1[1] == m2[1]).all()  # commutative
+    assert (m1[0] == np.minimum(ha, hb)).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(a=SHORT_TEXT, b=SHORT_TEXT)
+def test_jaro_winkler_range_and_symmetry_of_jaro(a, b):
+    s = K.jaro_winkler_similarity(a, b)
+    assert 0.0 <= s <= 1.0
+    assert K.jaro_similarity(a, b) == K.jaro_similarity(b, a)
+    if a == b and a:
+        assert s == 1.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=BYTES, b=BYTES)
+def test_nw_vs_lev_duality_unit_costs(a, b):
+    """NW score with match=0, mismatch=-1, gaps=-1 is exactly -Levenshtein."""
+    subs = K.unit_substitution(match=0, mismatch=-1)
+    nw = int(K.needleman_wunsch_batch([a], [b], subs, -1, -1)[0])
+    lev = int(K.levenshtein_batch([a], [b])[0])
+    assert nw == -lev
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=BYTES, b=BYTES)
+def test_sw_nonnegative_and_superstring(a, b):
+    sw = int(K.smith_waterman_batch([a], [b])[0])
+    assert sw >= 0
+    if a:  # local score of a inside b+a+b is at least len(a)
+        sw2 = int(K.smith_waterman_batch([a], [b + a + b])[0])
+        assert sw2 >= len(a)
+
+
+@settings(max_examples=60, deadline=None)
+@given(x=st.integers(min_value=0, max_value=2**64 - 1))
+def test_splitmix64_python_int_parity(x):
+    def ref(v: int) -> int:
+        v = (v + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = v
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    assert int(K.splitmix64(np.uint64(x))) == ref(x)
