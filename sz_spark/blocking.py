@@ -111,34 +111,6 @@ def minhash_bands(
     return bands
 
 
-def explode_bands(
-    docs_with_fp: DataFrame,
-    id_col: str = "conv_id",
-    n_bands: int = DEFAULT_BANDS,
-    rows_per_band: int = DEFAULT_ROWS,
-) -> DataFrame:
-    """One row per (doc, band): block key = (band_id, hash of band slice).
-
-    The band hash runs JVM-side (F.hash over an array slice) — no Python.
-    """
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.hash(F.slice(F.col("fp"), 1 + b * rows_per_band, rows_per_band)).alias(
-                    "band_hash"
-                ),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    return docs_with_fp.select(
-        F.col(id_col), F.explode(bands).alias("band")
-    ).select(
-        id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
-    )
-
-
 def cap_blocks(
     bands: DataFrame,
     max_block_size: int = 64,

@@ -240,12 +240,3 @@ def make_band_keys_udf(
     return band_keys
 
 
-def band_columns(fp_col: str, n_bands: int, rows_per_band: int):
-    """Native-Spark LSH banding: slice the minhash array into bands and
-    hash each band — no Python involved (F.slice/F.hash are JVM-side)."""
-    return [
-        F.hash(F.slice(F.col(fp_col), 1 + b * rows_per_band, rows_per_band)).alias(
-            f"band_{b}"
-        )
-        for b in range(n_bands)
-    ]
