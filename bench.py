@@ -93,9 +93,12 @@ def machine_scaling_ceiling(low: int, high: int) -> dict:
 
 def replicated_documents(spark, sf_dir: str, k: int):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    from sz_spark.transcripts import SALT_DIGITS
+
     max_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    if max_id * k > 100_000:
-        k = max(1, 100_000 // max_id)  # salt encodes 5 digits
+    limit = 10**SALT_DIGITS  # lpad truncates ids beyond the salt width
+    if max_id * k > limit:
+        k = max(1, limit // max_id)
     out = docs
     for i in range(1, k):
         out = out.unionByName(

@@ -24,8 +24,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# allow running from a repo checkout without --py-files: spark-submit puts
+# scripts/ (not the repo root) on sys.path
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_repo_root, "sz_spark")) and _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
 
 
 def main() -> int:
@@ -43,13 +50,14 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    builder = SparkSession.builder.appName("sz_spark_pipeline")
-    if "--master" not in " ".join(sys.argv) and not SparkSession.getActiveSession():
-        # harmless under spark-submit (master already set); local fallback
-        builder = builder.config("spark.sql.adaptive.enabled", "true").config(
-            "spark.sql.execution.arrow.pyspark.enabled", "true"
-        )
-    spark = builder.getOrCreate()
+    # master/deploy mode come from spark-submit; these two configs are
+    # wanted everywhere (AQE + Arrow UDF transport)
+    spark = (
+        SparkSession.builder.appName("sz_spark_pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     from sz_spark.pipeline import PipelineConfig, run_pipeline

@@ -115,9 +115,12 @@ def simhash_near_pairs(
     sigs: DataFrame, max_hamming: int = 3, n_tables: int = 4
 ) -> DataFrame:
     """Near-dup candidates by SimHash: docs agreeing on any 16-bit
-    slice of the signature (pigeonhole: hamming <= 3 over 64 bits ⇒ at
-    least one of 4 16-bit slices identical), verified by exact popcount.
-    Join key is the slice — no quadratic scan."""
+    slice of the signature (pigeonhole: hamming <= n_tables-1 over 64
+    bits ⇒ at least one of the n_tables 16-bit slices identical),
+    verified by exact popcount.  Join key is the slice — no quadratic
+    scan.  The slice guarantee requires max_hamming < n_tables; beyond
+    that the result is best-effort recall (asserted)."""
+    assert max_hamming < n_tables, "pigeonhole guarantee needs max_hamming < n_tables"
     slices = sigs.select(
         "doc_id",
         "simhash",

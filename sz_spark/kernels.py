@@ -353,6 +353,95 @@ def fingerprint_one_f64(
     return out_h, out_c
 
 
+class FingerprintStream:
+    """Incremental fingerprinting: feed a document in arbitrary chunks,
+    get exactly the one-shot fingerprint (the reference's streaming
+    contract — ``fingerprint_chunk`` with ``passed_progress``,
+    fingerprints/serial.hpp:1196-1231, and ``Hasher.update``,
+    hash.h:268: streaming equals one-shot).
+
+    State per dimension: the rolling-hash state, the running minimum and
+    its count, plus a tail buffer of the last ``max(width)`` bytes so
+    the discard term of windows spanning a chunk boundary is available.
+
+    Note: this path iterates per byte (a conformance/streaming artifact,
+    ~1000x slower than the batch kernel) — use :func:`fingerprints` for
+    bulk work and this class where data genuinely arrives incrementally.
+    """
+
+    def __init__(self, ndim: int = 128, widths: Sequence[int] | None = None, seed: int = 0):
+        self.params = fingerprint_params(ndim, widths, seed)
+        self._max_w = int(self.params.widths.max())
+        self._tail = b""
+        self._progress = 0  # global byte offset consumed so far
+        m = self.params
+        self._state = np.zeros(m.ndim, dtype=np.float64)
+        self._minv = np.full(m.ndim, 2.0**60, dtype=np.float64)
+        self._count = np.zeros(m.ndim, dtype=np.float64)
+
+    def update(self, chunk: bytes) -> "FingerprintStream":
+        if not chunk:
+            return self
+        p = self.params
+        # local buffer = retained tail + new chunk; global offset of its
+        # first byte:
+        buf = self._tail + chunk
+        base = self._progress - len(self._tail)
+        terms = np.frombuffer(buf, dtype=np.uint8).astype(np.float64) + 1.0
+
+        mult = p.mult.astype(np.float64)
+        mod = p.mod.astype(np.float64)
+        inv_mod = 1.0 / mod
+        disc = p.disc.astype(np.float64)
+        widths = p.widths
+
+        def barrett(x):
+            r = x - np.floor(x * inv_mod) * mod
+            r += mod * (r < 0.0)
+            r -= mod * (r >= mod)
+            return r
+
+        for g_off in range(self._progress, self._progress + len(chunk)):
+            i = g_off - base  # index into buf
+            new_term = terms[i]
+            # GLOBAL offsets decide the phase — a dim is in its prefix
+            # until the whole stream has provided w bytes
+            in_prefix = g_off < widths  # (D,)
+            old_local = g_off - widths - base
+            old_term = np.where(
+                in_prefix, 0.0, terms[np.clip(old_local, 0, None)]
+            )
+            x = self._state * mult + new_term + disc * old_term
+            self._state = barrett(x)
+            boundary = g_off == widths - 1  # window just completed
+            if boundary.any():
+                self._minv = np.where(boundary, self._state, self._minv)
+                self._count = np.where(boundary, 1.0, self._count)
+            rolling = ~in_prefix
+            if rolling.any():
+                ge = (self._state >= self._minv) | ~rolling
+                le = (self._state <= self._minv) & rolling
+                self._count = self._count * ge + le
+                self._minv = np.where(
+                    rolling & (self._state < self._minv), self._state, self._minv
+                )
+        self._progress += len(chunk)
+        self._tail = buf[-self._max_w :]  # next chunk discards back to p-w
+        return self
+
+    def digest(self) -> tuple[np.ndarray, np.ndarray]:
+        """(min_hashes u32, min_counts u32) — identical to
+        :func:`fingerprints` over the concatenation of all chunks."""
+        never = self._minv >= 2.0**60
+        hashes = np.where(
+            never,
+            np.uint64(MAX_HASH_U32),
+            self._minv.astype(np.uint64) & _U64(MAX_HASH_U32),
+        ).astype(np.uint32)
+        counts = np.where(never, 0.0, self._count).astype(np.uint32)
+        return hashes, counts
+
+
 def merge_count_min_sketches(
     hashes_a: np.ndarray,
     counts_a: np.ndarray,

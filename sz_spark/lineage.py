@@ -39,9 +39,17 @@ class CheckpointManager:
         return os.path.join(self.root, stage, "data")
 
     def is_done(self, stage: str) -> bool:
-        return bool(self.root) and os.path.exists(
-            os.path.join(self._path(stage), "_SUCCESS")
-        )
+        """_SUCCESS probe through the Hadoop FileSystem API so resume
+        works for cluster URIs (hdfs://, s3a://) as well as local paths —
+        a driver-side os.path check would silently disable resume on a
+        real cluster."""
+        if not self.root:
+            return False
+        marker = os.path.join(self._path(stage), "_SUCCESS")
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(marker)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
 
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self._path(stage))

@@ -17,8 +17,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: synthetic 8-byte header: magic 'SZIM' + u16 width + u16 height (LE)
+#: synthetic 14-byte ASCII header: b'SZIM' + lpad(width,5,'0') +
+#: lpad(height,5,'0') — see synthesize_binary_column / _fake_decode
 MAGIC = b"SZIM"
+HEADER_LEN = 14
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -58,14 +60,14 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float, bool]:
     A production build replaces this with e.g. PIL.Image.open; the
     Spark-side contract (bytes in, typed struct out) is unchanged.
     """
-    if payload is None or len(payload) < 14 or payload[:4] != b"SZIM":
+    if payload is None or len(payload) < HEADER_LEN or payload[:4] != MAGIC:
         return 0, 0, 0.0, False
     try:
         width = int(payload[4:9])
-        height = int(payload[9:14])
+        height = int(payload[9:HEADER_LEN])
     except ValueError:
         return 0, 0, 0.0, False
-    body = np.frombuffer(payload[14:], dtype=np.uint8)
+    body = np.frombuffer(payload[HEADER_LEN:], dtype=np.uint8)
     mean = float(body.mean()) if body.size else 0.0
     return width, height, round(mean, 6), True
 

@@ -789,8 +789,10 @@ def dedup_simhash(spark, sf):
 
 
 def dedup_simhash_pairs(spark, sf):
+    # max_hamming=3 keeps the 4x16-bit pigeonhole guarantee of
+    # simhash_near_pairs exact (hamming <= n_tables-1 ⇒ >= 1 slice equal)
     sigs = dedup.simhash_docs(_t(spark, sf, "documents"))
-    return dedup.simhash_near_pairs(sigs, max_hamming=6)
+    return dedup.simhash_near_pairs(sigs, max_hamming=3)
 
 
 def dedup_embedding_cosine(spark, sf):

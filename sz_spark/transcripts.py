@@ -44,6 +44,11 @@ from pyspark.sql import functions as F
 
 TURN_TOKENS = 8
 SALT_REPEAT = 8
+#: digits in the zero-padded entity id inside the salt.  Spark's lpad
+#: TRUNCATES longer strings, which would collapse distinct entities onto
+#: one salt and void the cross-entity separation guarantee — so doc_ids
+#: must stay below 10**SALT_DIGITS (asserted by consumers, see bench.py).
+SALT_DIGITS = 6
 BASE_TS = "2025-01-01 00:00:00"
 
 
@@ -52,9 +57,13 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _salt_col() -> Column:
-    """'u' + each digit of lpad(doc_id, 5, '0') repeated SALT_REPEAT times."""
-    padded = F.lpad(F.col("doc_id").cast("string"), 5, "0")
-    parts = [F.repeat(F.substring(padded, i + 1, 1), SALT_REPEAT) for i in range(5)]
+    """'u' + each digit of lpad(doc_id, SALT_DIGITS, '0') repeated
+    SALT_REPEAT times."""
+    padded = F.lpad(F.col("doc_id").cast("string"), SALT_DIGITS, "0")
+    parts = [
+        F.repeat(F.substring(padded, i + 1, 1), SALT_REPEAT)
+        for i in range(SALT_DIGITS)
+    ]
     return F.concat(F.lit("u"), *parts)
 
 
@@ -118,7 +127,14 @@ def build_transcripts_from_documents(
         F.concat(
             F.slice("toks", 1, 3),
             F.array(F.lit("zz")),
-            F.slice(F.col("toks"), F.lit(5), F.size("toks") - F.lit(4)),
+            # greatest(...,0): Spark's slice raises on negative lengths
+            # for <4-token docs, while the DuckDB twin's toks[5:] is
+            # empty — match the SQL semantics exactly
+            F.slice(
+                F.col("toks"),
+                F.lit(5),
+                F.greatest(F.size("toks") - F.lit(4), F.lit(0)),
+            ),
         ).alias("toks"),
     )
     dup = _turns_from_tokens(dup_docs, "d")
@@ -145,8 +161,8 @@ def build_transcripts_from_documents(
 
 def _salt_sql() -> str:
     parts = " || ".join(
-        f"repeat(substr(lpad(CAST(doc_id AS VARCHAR), 5, '0'), {i + 1}, 1), {SALT_REPEAT})"
-        for i in range(5)
+        f"repeat(substr(lpad(CAST(doc_id AS VARCHAR), {SALT_DIGITS}, '0'), {i + 1}, 1), {SALT_REPEAT})"
+        for i in range(SALT_DIGITS)
     )
     return f"'u' || {parts}"
 

@@ -119,6 +119,26 @@ def test_fingerprints_all_same_char():
         assert c[0, d] == 50 - int(w) + 1
 
 
+def test_fingerprint_stream_equals_one_shot():
+    """Streaming (arbitrary chunking) == one-shot — the reference's
+    incremental-hash contract (fingerprint_chunk/passed_progress,
+    Hasher.update)."""
+    rng = random.Random(5)
+    for n in (0, 1, 5, 31, 64, 200, 700):
+        t = rand_bytes(rng, n)
+        exp_h, exp_c = K.fingerprints([t], ndim=16, seed=0)
+        for cuts in ([len(t)], [1] * len(t), [7, 3, 50, len(t)], [0, 2, len(t)]):
+            s = K.FingerprintStream(ndim=16, seed=0)
+            pos = 0
+            for c in cuts:
+                s.update(t[pos : pos + c])
+                pos += c
+            s.update(t[pos:])
+            h, c2 = s.digest()
+            assert (h == exp_h[0]).all(), (n, cuts)
+            assert (c2 == exp_c[0]).all(), (n, cuts)
+
+
 def test_merge_count_min_sketches_equals_whole():
     """Chunked fingerprint + merge == one-shot (streaming property,
     fingerprints/serial.hpp:601-625)."""
