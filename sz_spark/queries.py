@@ -431,28 +431,52 @@ FROM documents
 """
 
 
+MULTISEED_SEEDS = (0, 1, 42, 314159)
+
+
 def szs_hash_multiseed(spark, sf):
     """sz.hash_multiseed analog (hash.h:173): one text hashed under many
     seeds at once — the feature-hashing primitive.  Interchangeable-PRF
-    semantics per SURVEY.md §2.7 (values are ours, not sz_hash's)."""
-    from sz_spark.kernels import hash_bytes_u64
+    semantics per SURVEY.md §2.7 (values are ours, not sz_hash's): the
+    registered PRF is the low 60 bits of md5(seed || '|' || text), which
+    both engines compute natively (JVM md5 + conv — zero Python), giving
+    a hard cross-engine value check of the seeded-family contract.  A
+    pure-JVM xxhash64 multiseed (udfs.hash_multiseed_xxhash) is the
+    production feature-hashing path, property-tested in pytest.
 
-    seeds = (0, 1, 42, 314159)
-
-    @pandas_udf("array<long>")
-    def multiseed(texts: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = []
-        for t in texts:
-            b = (t or "").encode()
-            out.append(
-                [np.int64(np.uint64(hash_bytes_u64(b, s))) for s in seeds]
-            )
-        return pd.Series(out)
-
+    Output is one scalar row per (doc, seed) — array columns crash the
+    driver canonicalizer (CORRECTNESS_r01)."""
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", multiseed(F.col("text")).alias("hashes"))
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{s}|"), F.col("text"))), 1, 15
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("hash64"),
+                )
+                for s in MULTISEED_SEEDS
+            ]
+        )
+    )
+    return d.select("doc_id", pairs.alias("p")).select(
+        "doc_id", F.col("p.seed").alias("seed"), F.col("p.hash64").alias("hash64")
+    )
+
+
+SZS_MULTISEED_SQL = f"""
+SELECT doc_id, seed,
+       ('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || text), 1, 15))::BIGINT AS hash64
+FROM documents
+CROSS JOIN (SELECT unnest([{", ".join(str(s) for s in MULTISEED_SEEDS)}]) AS seed)
+"""
 
 
 def q_sample_seeded(spark, sf):
@@ -690,16 +714,49 @@ def szs_levenshtein_affine(spark, sf):
     return p.select("doc_id", lev(F.col("text_a"), F.col("text_b")).alias("dist"))
 
 
+def szs_levenshtein_affine_unit(spark, sf):
+    """Affine-gap engine at gap_open == gap_extend == 1: the affine
+    recurrences must then collapse to plain unit-cost Levenshtein — a
+    hard cross-engine identity check of the Gotoh path (the full 2/1
+    parameterization keeps its big-int pytest oracle)."""
+    lev = make_levenshtein_affine_udf(gap_open=1, gap_extend=1)
+    p = _adjacent_doc_pairs(spark, sf)
+    return p.select("doc_id", lev(F.col("text_a"), F.col("text_b")).alias("dist"))
+
+
 def szs_needleman_wunsch(spark, sf):
+    """Default NW (match=0, mismatch=-1, gaps=-1): score == -levenshtein
+    by the classic duality, which the DuckDB oracle checks exactly."""
     nw = make_nw_udf()
     p = _adjacent_doc_pairs(spark, sf)
     return p.select("doc_id", nw(F.col("text_a"), F.col("text_b")).alias("score"))
 
 
+SZS_NW_SQL = """
+SELECT a.doc_id, -levenshtein(a.text, b.text) AS score
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+
 def szs_smith_waterman(spark, sf):
+    """Default SW (match=+1, mismatch=-1, gaps=-1) scoring each doc
+    against an exact 40-byte substring of itself: the best local
+    alignment is then provably the substring itself, so
+    score == length(substring) — SQL-expressible, making the local-DP
+    engine driver-checkable (arbitrary-pair SW keeps its pytest
+    oracle in tests/test_kernels.py)."""
     sw = make_sw_udf()
-    p = _adjacent_doc_pairs(spark, sf)
-    return p.select("doc_id", sw(F.col("text_a"), F.col("text_b")).alias("score"))
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        sw(F.col("text"), F.substring("text", 11, 40)).alias("score"),
+    )
+
+
+SZS_SW_SQL = """
+SELECT doc_id, CAST(length(substr(text, 11, 40)) AS BIGINT) AS score
+FROM documents
+"""
 
 
 def szs_nw_class_costs(spark, sf):
@@ -723,11 +780,102 @@ def szs_nw_class_costs(spark, sf):
 
 
 def szs_fingerprints(spark, sf):
+    """Flagship Fingerprints engine (stringzillas.h:516-580 semantics) at
+    reference defaults (ndim=128, widths {3..31}, seed 0), posexploded to
+    one scalar row per (doc, dim) — the driver canonicalizer cannot sort
+    array<long> columns (CORRECTNESS_r01), and per-dimension rows are a
+    stronger check anyway."""
     d = _t(spark, sf, "documents")
     fp = make_fingerprint_udf(ndim=128, widths=None, seed=0)  # reference defaults
-    return d.withColumn("_fp", fp(F.col("text"))).select(
-        "doc_id", F.col("_fp.hashes").alias("min_hashes"), F.col("_fp.counts").alias("min_counts")
+    return _explode_fp_rows(d.withColumn("_fp", fp(F.col("text"))))
+
+
+def _explode_fp_rows(with_fp: DataFrame) -> DataFrame:
+    return (
+        with_fp.select(
+            "doc_id",
+            F.col("_fp.hashes").alias("h"),
+            F.col("_fp.counts").alias("c"),
+        )
+        .select("doc_id", F.posexplode(F.arrays_zip("h", "c")).alias("dim", "hc"))
+        .select(
+            "doc_id",
+            "dim",
+            F.col("hc.h").alias("min_hash"),
+            F.col("hc.c").alias("min_count"),
+        )
     )
+
+
+FP_ORACLE_NDIM = 8
+FP_ORACLE_MAXLEN = 256
+FP_ORACLE_DOC_MOD = 8
+
+
+def szs_fingerprints_small(spark, sf):
+    """Hash-green twin of the flagship: the SAME production kernel
+    (sz_spark.kernels.fingerprints) at ndim=8 over a truncated ASCII
+    subset, checked value-for-value against an independent DuckDB
+    re-implementation of the rolling min-hash (list_reduce polynomial
+    mod per window — see szs_fingerprints_small_oracle).  This gives the
+    §2.8 Fingerprints math a hard cross-engine CORRECTNESS row; the
+    full-width variant above evidences shape/rows at scale."""
+    d = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") % FP_ORACLE_DOC_MOD == 0)
+        & F.col("text").rlike("^[ -~]*$")
+    )
+    d = d.select("doc_id", F.substring("text", 1, FP_ORACLE_MAXLEN).alias("t"))
+    fp = make_fingerprint_udf(ndim=FP_ORACLE_NDIM, widths=None, seed=0)
+    return _explode_fp_rows(d.withColumn("_fp", fp(F.col("t"))))
+
+
+def szs_fingerprints_small_oracle() -> str:
+    """DuckDB re-implementation of the rolling min-hash fingerprint
+    (fingerprints/serial.hpp semantics): per dimension d a width-w[d]
+    polynomial hash  h(window) = fold(acc*mult[d] + byte+1 mod m[d])
+    over every window; export (min & 0xFFFFFFFF, count-of-min), or
+    (0xFFFFFFFF, 0) when the text is shorter than w[d].  Window hashes
+    are recomputed directly (no rolling update) — mathematically equal
+    to the kernel's rolled states, via an independent code path.
+    Constants are the engine's seeded per-dim parameters, inlined."""
+    from sz_spark.kernels import MAX_HASH_U32, fingerprint_params
+
+    p = fingerprint_params(FP_ORACLE_NDIM, None, 0)
+    per_dim = []
+    for d in range(FP_ORACLE_NDIM):
+        w = int(p.widths[d])
+        m = int(p.mod[d])
+        mul = int(p.mult[d])
+        per_dim.append(
+            f"""SELECT doc_id, {d} AS dim,
+       CASE WHEN hs IS NULL THEN {MAX_HASH_U32}
+            ELSE list_min(hs) & {MAX_HASH_U32} END AS min_hash,
+       CASE WHEN hs IS NULL THEN 0
+            ELSE len(list_filter(hs, h -> h = list_min(hs))) END AS min_count
+FROM (
+  SELECT doc_id,
+         CASE WHEN len(bs) >= {w}
+              THEN list_transform(range(1, len(bs) - {w} + 2),
+                   i -> list_reduce(bs[i : i + {w - 1}], (a, x) -> (a * {mul} + x) % {m}))
+         END AS hs
+  FROM bytes
+)"""
+        )
+    union = "\nUNION ALL\n".join(per_dim)
+    return f"""
+WITH src AS (
+  SELECT doc_id, substr(text, 1, {FP_ORACLE_MAXLEN}) AS t
+  FROM documents
+  WHERE doc_id % {FP_ORACLE_DOC_MOD} = 0 AND regexp_matches(text, '^[ -~]*$')
+),
+bytes AS (
+  SELECT doc_id,
+         list_transform(range(1, length(t) + 1),
+                        j -> (ord(substr(t, j::INT, 1)) + 1)::BIGINT) AS bs
+  FROM src
+)
+{union}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -866,7 +1014,7 @@ REGISTRY: dict[str, tuple] = {
     "str_find_first_last_of": (str_find_first_last_of, STR_FIRST_LAST_OF_SQL),
     "str_split_byteset": (str_split_byteset, STR_SPLIT_BYTESET_SQL),
     "str_utf8_counts": (str_utf8_counts, STR_UTF8_SQL),
-    "szs_hash_multiseed": (szs_hash_multiseed, None),
+    "szs_hash_multiseed": (szs_hash_multiseed, SZS_MULTISEED_SQL),
     # ER pipeline
     "tr_transcripts": (tr_transcripts, transcripts_sql()),
     "tr_canonicalize": (tr_canonicalize, TR_CANON_SQL),
@@ -880,10 +1028,12 @@ REGISTRY: dict[str, tuple] = {
     "szs_levenshtein": (szs_levenshtein, SZS_LEV_SQL),
     "szs_levenshtein_utf8": (szs_levenshtein_utf8, SZS_LEV_SQL),  # ASCII corpus
     "szs_levenshtein_affine": (szs_levenshtein_affine, None),
-    "szs_needleman_wunsch": (szs_needleman_wunsch, None),
-    "szs_smith_waterman": (szs_smith_waterman, None),
+    "szs_levenshtein_affine_unit": (szs_levenshtein_affine_unit, SZS_LEV_SQL),
+    "szs_needleman_wunsch": (szs_needleman_wunsch, SZS_NW_SQL),
+    "szs_smith_waterman": (szs_smith_waterman, SZS_SW_SQL),
     "szs_nw_class_costs": (szs_nw_class_costs, None),
     "szs_fingerprints": (szs_fingerprints, None),
+    "szs_fingerprints_small": (szs_fingerprints_small, szs_fingerprints_small_oracle()),
     # dedup / ANN / text analysis / multimodal
     "dedup_exact": (dedup_exact, dedup.EXACT_DUP_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, dedup.ngram_jaccard_sql(threshold=0.5)),

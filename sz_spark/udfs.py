@@ -167,6 +167,15 @@ def make_sw_udf(substitution=None, gap_open=-1, gap_extend=-1):
 # ---------------------------------------------------------------------------
 
 
+def hash_multiseed_xxhash(col, seeds=(0, 1, 42, 314159)):
+    """Pure-JVM multiseed hashing (sz.hash_multiseed analog, hash.h:173):
+    one xxhash64 per seed, no Python anywhere.  This is the production
+    feature-hashing path; the registry's md5-PRF variant exists for the
+    DuckDB cross-engine check (SURVEY.md §2.7 interchangeable-PRF
+    stance).  Returns array<long>, one element per seed."""
+    return F.array(*[F.xxhash64(col, F.lit(int(s))) for s in seeds])
+
+
 @pandas_udf(T.LongType())
 def bytesum_udf(texts: pd.Series) -> pd.Series:
     """Additive byte checksum (sz.bytesum, hash.h:110)."""
