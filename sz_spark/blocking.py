@@ -123,14 +123,16 @@ def cap_blocks(
     of size s contributes O(s^2) candidate pairs with near-zero precision
     value.  Three tiers:
 
-    * s <= max_block_size            — kept intact (salt 0)
-    * max < s <= salt_up_to          — SALTED: members split across
-      ceil(s/max) deterministic salts (xxhash64 of the id), bounding
-      per-block work at O(max^2 * n_salts); true near-dup pairs live in
-      small blocks and are never salted, so recall of the F1 gate is
-      unaffected while hot bands stop dominating the shuffle
+    * s <= max_block_size            — kept intact (salt 0, n_salts 1)
+    * max < s <= salt_up_to          — SALTED: each member gets a
+      deterministic salt (xxhash64 of the id mod ceil(s/max)) plus the
+      block's n_salts.  candidate_pairs replicates ONE join side across
+      all n_salts (classic salted self-join), so every in-block pair is
+      still produced — salting loses NO recall; it redistributes a hot
+      block's O(s^2) pair work across n_salts reducers (per-reducer
+      work O(max * s) <= O(max * salt_up_to)) instead of one
     * s > salt_up_to                 — suppressed and *logged* (never
-      silently)
+      silently); this tier, not salting, is the total-work bound
 
     ``salt_up_to=0`` disables salting (drop-only behavior).
     """
@@ -141,13 +143,19 @@ def cap_blocks(
     drop_above = salt_up_to if salt_up_to > max_block_size else max_block_size
     kept = joined.filter(F.col("block_size") <= drop_above)
     id_col = [c for c in bands.columns if c not in ("band_id", "band_hash")][0]
-    n_salts = F.ceil(F.col("block_size") / F.lit(max_block_size)).cast("long")
-    kept = kept.withColumn(
-        "salt",
-        F.when(
-            F.col("block_size") <= max_block_size, F.lit(0).cast("long")
-        ).otherwise(F.pmod(F.xxhash64(F.col(id_col)), n_salts)),
-    ).drop("block_size")
+    n_salts = F.when(
+        F.col("block_size") <= max_block_size, F.lit(1).cast("long")
+    ).otherwise(F.ceil(F.col("block_size") / F.lit(max_block_size)).cast("long"))
+    kept = (
+        kept.withColumn("n_salts", n_salts)
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salts") == 1, F.lit(0).cast("long")).otherwise(
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("n_salts"))
+            ),
+        )
+        .drop("block_size")
+    )
     suppressed = sizes.filter(F.col("block_size") > drop_above)
     return kept, suppressed
 
@@ -155,10 +163,32 @@ def cap_blocks(
 def candidate_pairs(bands: DataFrame, id_col: str = "conv_id") -> DataFrame:
     """Within-block pairs, lower-triangle only (a < b — the reference's
     symmetric-mirror trick, serial.hpp:3356-3360), deduped across bands.
-    Joins on the salted key when cap_blocks added one."""
-    keys = ["band_id", "band_hash"] + (["salt"] if "salt" in bands.columns else [])
-    a = bands.alias("a")
-    b = bands.alias("b")
+
+    When cap_blocks salted the input, this is the recall-preserving
+    salted self-join: side a keeps its own salt; side b is REPLICATED to
+    every salt of its block (explode over 0..n_salts-1), so a pair
+    (x, y) in a salted block still meets — at exactly x's salt.  The
+    shuffle key (band_id, band_hash, salt) splits a hot block across
+    n_salts reducers; only salted rows replicate (n_salts == 1 explodes
+    to a single row), so small blocks pay nothing."""
+    if "salt" in bands.columns:
+        keys = ["band_id", "band_hash", "salt"]
+        a = bands.drop("n_salts").alias("a")
+        b = (
+            bands.drop("salt")
+            .withColumn(
+                "salt",
+                F.explode(
+                    F.sequence(F.lit(0).cast("long"), F.col("n_salts") - 1)
+                ),
+            )
+            .drop("n_salts")
+            .alias("b")
+        )
+    else:
+        keys = ["band_id", "band_hash"]
+        a = bands.alias("a")
+        b = bands.alias("b")
     return (
         a.join(b, keys)
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

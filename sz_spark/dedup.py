@@ -15,7 +15,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sz_spark.textops import word_shingles
-from sz_spark.udfs import simhash64_udf
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -104,42 +103,139 @@ WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {threshold}
 """
 
 
+#: SimHash geometry: 60 bits so the md5-derived token hash (low 15 hex
+#: chars) stays positive in a signed 64-bit long on both engines.
+SIMHASH_BITS = 60
+
+
 def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document (signed bit-pattern LongType)."""
-    return docs.select(
-        "doc_id", simhash64_udf(F.split(F.col(text_col), " ")).alias("simhash")
+    """60-bit SimHash per document, computed ENTIRELY in native Spark
+    expressions (JVM, whole-stage codegen — zero Python):
+
+    * token hash = low 60 bits of md5(token) — a PRF both engines share,
+      so the signature has an exact DuckDB twin (SIMHASH_SQL)
+    * per-bit balance = sum over the token multiset of (2*bit - 1)
+    * signature bit b set iff balance_b > 0
+
+    The vectorized-NumPy variant (kernels.simhash64 via simhash64_udf)
+    remains for library callers needing 64-bit signatures over arbitrary
+    pre-tokenized bytes."""
+    b = SIMHASH_BITS
+    hs = F.transform(
+        F.split(F.col(text_col), " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    d = docs.select("doc_id", hs.alias("hs"))
+    bals = F.expr(
+        f"aggregate(hs, array_repeat(0L, {b}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {b - 1}), "
+        f"(a, i) -> a + (shiftright(h, cast(i AS INT)) & 1L) * 2L - 1L))"
+    )
+    sig = F.expr(
+        f"aggregate(zip_with(bals, sequence(0, {b - 1}), "
+        f"(bal, i) -> IF(bal > 0, shiftleft(1L, cast(i AS INT)), 0L)), "
+        f"0L, (a, x) -> a + x)"
+    )
+    return d.select("doc_id", bals.alias("bals")).select(
+        "doc_id", sig.alias("simhash")
     )
 
 
+def simhash_sql_cte() -> str:
+    """DuckDB CTE chain (no leading WITH) ending in
+    ``sigs(doc_id, simhash)`` — the exact twin of :func:`simhash_docs`."""
+    b = SIMHASH_BITS
+    return f"""hs AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+  FROM documents
+),
+bals AS (
+  SELECT doc_id,
+         list_transform(range(0, {b}), i ->
+           list_aggregate(list_transform(hs, h -> ((h >> i) & 1) * 2 - 1), 'sum')
+         ) AS bals
+  FROM hs
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(list_aggregate(list_transform(range(0, {b}),
+              i -> CASE WHEN bals[(i + 1)::INT] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+              'sum') AS BIGINT) AS simhash
+  FROM bals
+)"""
+
+
+SIMHASH_SQL = f"WITH {simhash_sql_cte()}\nSELECT doc_id, simhash FROM sigs"
+
+
+def _block_combinations(n_blocks: int, keep: int) -> list[tuple[int, ...]]:
+    from itertools import combinations
+
+    return list(combinations(range(n_blocks), keep))
+
+
 def simhash_near_pairs(
-    sigs: DataFrame, max_hamming: int = 3, n_tables: int = 4
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+    max_bucket_size: int = 0,
 ) -> DataFrame:
-    """Near-dup candidates by SimHash: docs agreeing on any 16-bit
-    slice of the signature (pigeonhole: hamming <= n_tables-1 over 64
-    bits ⇒ at least one of the n_tables 16-bit slices identical),
-    verified by exact popcount.  Join key is the slice — no quadratic
-    scan.  The slice guarantee requires max_hamming < n_tables; beyond
-    that the result is best-effort recall (asserted)."""
-    assert max_hamming < n_tables, "pigeonhole guarantee needs max_hamming < n_tables"
-    slices = sigs.select(
+    """Near-dup candidates by SimHash block-combination LSH, verified by
+    exact popcount.
+
+    The signature's SIMHASH_BITS bits split into ``n_blocks`` equal
+    blocks; each of the C(n_blocks, n_blocks - max_hamming) combinations
+    of (n_blocks - max_hamming) blocks is one hash table whose key packs
+    those blocks' bits into a single long.  Pigeonhole: <= max_hamming
+    flipped bits touch <= max_hamming blocks, so some kept combination
+    is untouched and the pair collides there — recall is exact.
+
+    Scale math (the round-1 design capped out at 2^16 buckets total):
+    key space per table is 2^(width * (n_blocks - max_hamming)) — at the
+    defaults (60 bits, 6 blocks, hamming 3) that is 2^30 keys across 20
+    tables, and n_blocks=10/hamming=3 gives 2^42 keys across 120 tables
+    for 10^9-doc corpora.  ``max_bucket_size > 0`` additionally drops
+    stop-keys (buckets above the cap, the max_shingle_freq analog) so a
+    degenerate corpus cannot go quadratic on one hot key."""
+    assert SIMHASH_BITS % n_blocks == 0, "blocks must tile the signature"
+    keep = n_blocks - max_hamming
+    assert keep >= 1, "need n_blocks > max_hamming for the pigeonhole"
+    width = SIMHASH_BITS // n_blocks
+    mask = (1 << width) - 1
+
+    def key_expr(combo: tuple[int, ...]):
+        packed = F.lit(0).cast("long")
+        for j, blk in enumerate(combo):
+            blk_val = F.shiftrightunsigned(F.col("simhash"), width * blk).bitwiseAND(
+                F.lit(mask)
+            )
+            packed = packed + F.shiftleft(blk_val, width * j)
+        return packed
+
+    combos = _block_combinations(n_blocks, keep)
+    tables = sigs.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * t)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for t in range(n_tables)
+                    F.struct(F.lit(t).alias("t"), key_expr(c).alias("key"))
+                    for t, c in enumerate(combos)
                 ]
             )
         ).alias("s"),
     ).select("doc_id", "simhash", F.col("s.t").alias("t"), F.col("s.key").alias("key"))
-    a = slices.alias("a")
-    b = slices.alias("b")
+    if max_bucket_size > 0:
+        bucket_sizes = tables.groupBy("t", "key").agg(
+            F.count(F.lit(1)).alias("_bs")
+        )
+        tables = tables.join(
+            bucket_sizes.filter(F.col("_bs") <= max_bucket_size), ["t", "key"]
+        ).drop("_bs")
+    a = tables.alias("a")
+    b = tables.alias("b")
     cand = (
         a.join(b, ["t", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -154,6 +250,35 @@ def simhash_near_pairs(
     return cand.withColumn(
         "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def simhash_near_pairs_sql(max_hamming: int = 3, n_blocks: int = 6) -> str:
+    """DuckDB twin of simhash_docs + simhash_near_pairs (no bucket cap)."""
+    keep = n_blocks - max_hamming
+    width = SIMHASH_BITS // n_blocks
+    mask = (1 << width) - 1
+    combos = _block_combinations(n_blocks, keep)
+    key_rows = []
+    for t, combo in enumerate(combos):
+        parts = " + ".join(
+            f"(((simhash >> {width * blk}) & {mask}) << {width * j})"
+            for j, blk in enumerate(combo)
+        )
+        key_rows.append(
+            f"SELECT doc_id, simhash, {t} AS t, CAST({parts} AS BIGINT) AS key FROM sigs"
+        )
+    keys_union = "\nUNION ALL\n".join(key_rows)
+    return f"""
+WITH {simhash_sql_cte()},
+keys AS (
+{keys_union}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM keys a JOIN keys b USING (t, key)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
 
 
 def embedding_near_pairs(

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,12 +28,15 @@ class CheckpointManager:
         self,
         spark: SparkSession,
         root: str | None,
-        run_id: str = "run0",
+        run_id: str | None = None,
         fmt: str = "parquet",
     ):
         self.spark = spark
         self.root = root
-        self.run_id = run_id
+        # unique per run unless the caller pins one: resumed/repeated runs
+        # append their own metric rows instead of duplicating (stage,
+        # run_id, partition_id) keys
+        self.run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
         self.fmt = fmt
 
     def _path(self, stage: str) -> str:
@@ -72,9 +76,22 @@ class CheckpointManager:
         return self.materialize(stage, build())
 
     def _write_metrics(self, stage: str, df: DataFrame) -> None:
-        per_part = df.select(F.spark_partition_id().alias("partition_id")).groupBy(
-            "partition_id"
-        ).agg(F.count(F.lit(1)).alias("rows"))
+        """One row per partition: (stage, run_id, partition_id, rows,
+        min_key, max_key, wall_ts).  min/max are over the stage's first
+        column cast to string — the per-partition key-range lineage the
+        docstring promises."""
+        key = F.col(df.columns[0]).cast("string") if df.columns else F.lit(None)
+        per_part = (
+            df.select(
+                F.spark_partition_id().alias("partition_id"), key.alias("_k")
+            )
+            .groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("_k").alias("min_key"),
+                F.max("_k").alias("max_key"),
+            )
+        )
         per_part = per_part.withColumn("stage", F.lit(stage)).withColumn(
             "run_id", F.lit(self.run_id)
         ).withColumn("wall_ts", F.lit(time.time()))

@@ -571,6 +571,45 @@ def er_clusters(spark, sf):
     return clustering.clusters_with_singletons(asg, docs, "conv_id")
 
 
+def er_clusters_production(spark, sf):
+    """The DEPLOYED pipeline plan — reference-fingerprint MinHash
+    blocking (blocking.minhash_bands + layered prefix key), capped and
+    salted blocks, histogram/length prunes, bounded banded DP, hybrid
+    connected components — NOT the md5-shingle SQL stand-in the other
+    er_* rows run.  The oracle is the analytic GROUND TRUTH: every
+    conversation variant of doc_id clusters to 'c<doc_id>' because
+    true-variant similarity >= 0.96 and cross-entity <= 0.905 by the
+    salt construction (sz_spark.transcripts), so a pipeline with
+    pairwise P=R=1.0 must reproduce the entity partition exactly; a
+    hash mismatch means the production blocking/salting/scoring path
+    regressed."""
+    from sz_spark.pipeline import PipelineConfig, run_pipeline
+
+    tr = build_transcripts(spark, sf)
+    stages = run_pipeline(spark, tr, PipelineConfig())
+    return stages["clusters"]
+
+
+def er_ground_truth_clusters_oracle() -> str:
+    """Analytic entity partition of the synthetic transcripts: variants
+    c/d/e of doc_id form one cluster whose id is min(conv_id) =
+    'c<doc_id>' ('c' < 'd' < 'e')."""
+    from sz_spark.transcripts import TURN_TOKENS
+
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+variants AS (
+  SELECT 'c' || CAST(doc_id AS VARCHAR) AS conv_id, doc_id FROM docs
+  UNION ALL
+  SELECT 'd' || CAST(doc_id AS VARCHAR), doc_id FROM docs WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'e' || CAST(doc_id AS VARCHAR), doc_id
+  FROM docs WHERE doc_id % 5 = 0 AND len(toks) >= {3 * TURN_TOKENS}
+)
+SELECT conv_id, 'c' || CAST(doc_id AS VARCHAR) AS cluster_id FROM variants
+"""
+
+
 def er_cluster_sizes(spark, sf):
     return (
         er_clusters(spark, sf)
@@ -933,12 +972,14 @@ WHERE a.conv_id < b.conv_id
 
 
 def dedup_simhash(spark, sf):
+    """Native 60-bit md5-PRF SimHash (zero Python; DuckDB-twinned)."""
     return dedup.simhash_docs(_t(spark, sf, "documents"))
 
 
 def dedup_simhash_pairs(spark, sf):
-    # max_hamming=3 keeps the 4x16-bit pigeonhole guarantee of
-    # simhash_near_pairs exact (hamming <= n_tables-1 ⇒ >= 1 slice equal)
+    """Block-combination LSH over the SimHash: 20 tables of 30-bit keys
+    at the defaults (exact recall for hamming <= 3 by pigeonhole; 2^30
+    key space per table — see dedup.simhash_near_pairs scale math)."""
     sigs = dedup.simhash_docs(_t(spark, sf, "documents"))
     return dedup.simhash_near_pairs(sigs, max_hamming=3)
 
@@ -1023,6 +1064,7 @@ REGISTRY: dict[str, tuple] = {
     "er_pair_scores_lev": (er_pair_scores_lev, er_scores_oracle()),
     "er_pair_scores_jw": (er_pair_scores_jw, er_jw_oracle()),
     "er_clusters": (er_clusters, er_clusters_oracle()),
+    "er_clusters_production": (er_clusters_production, er_ground_truth_clusters_oracle()),
     "er_cluster_sizes": (er_cluster_sizes, er_cluster_sizes_oracle()),
     # reference-exact engines
     "szs_levenshtein": (szs_levenshtein, SZS_LEV_SQL),
@@ -1038,8 +1080,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, dedup.EXACT_DUP_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, dedup.ngram_jaccard_sql(threshold=0.5)),
     "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_oracle()),
-    "dedup_simhash": (dedup_simhash, None),
-    "dedup_simhash_pairs": (dedup_simhash_pairs, None),
+    "dedup_simhash": (dedup_simhash, dedup.SIMHASH_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, dedup.simhash_near_pairs_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, dedup.embedding_near_pairs_sql(0.4)),
     "ann_cosine_topk": (ann_cosine_topk, ann.cosine_topk_sql(10, 5)),
     "ann_lsh_topk": (ann_lsh_topk, None),

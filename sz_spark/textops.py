@@ -128,9 +128,12 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> Data
     hashes = F.array_sort(
         F.transform(word_shingles(text_col), lambda s: F.md5(s))
     )
+    # try_element_at: NULL out of range (matching DuckDB list indexing)
+    # where ANSI element_at would throw INVALID_ARRAY_INDEX on docs with
+    # fewer than k shingles
     return docs.select(
         "doc_id",
-        *[F.element_at(hashes, i + 1).alias(f"fp_{i}") for i in range(k)],
+        *[F.try_element_at(hashes, F.lit(i + 1)).alias(f"fp_{i}") for i in range(k)],
     )
 
 

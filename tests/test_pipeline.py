@@ -59,15 +59,17 @@ def test_deterministic_across_parallelism(spark):
 
 
 def test_block_salting(spark):
-    """Oversized blocks get salted sub-keys (bounded pair counts), small
-    blocks stay intact, huge blocks are suppressed and logged."""
+    """Oversized blocks get salted sub-keys that spread the work across
+    reducers WITHOUT losing any in-block pair (replicated-side salted
+    self-join); small blocks stay intact; huge blocks are suppressed
+    and logged."""
     from pyspark.sql import functions as F
 
     from sz_spark import blocking
 
     rows = (
         [("small%d" % i, 0, 111) for i in range(5)]
-        + [("hot%d" % i, 0, 222) for i in range(40)]
+        + [("hot%02d" % i, 0, 222) for i in range(40)]
         + [("huge%d" % i, 0, 333) for i in range(200)]
     )
     bands = spark.createDataFrame(rows, "conv_id string, band_id int, band_hash long")
@@ -76,12 +78,16 @@ def test_block_salting(spark):
     assert len(sup) == 1 and sup[0]["block_size"] == 200
     k = kept.toPandas()
     assert (k[k.conv_id.str.startswith("small")]["salt"] == 0).all()
+    assert (k[k.conv_id.str.startswith("small")]["n_salts"] == 1).all()
     hot = k[k.conv_id.str.startswith("hot")]
     assert hot["salt"].nunique() > 1  # split across salts
+    assert (hot["n_salts"] == 5).all()  # ceil(40/8)
     pairs = blocking.candidate_pairs(kept).toPandas()
-    # pairs only within the same salted sub-block: strictly fewer than 40C2
+    # salting preserves recall exactly: ALL 40C2 hot pairs + 5C2 small
     n_hot_pairs = len(pairs[pairs.id_a.str.startswith("hot")])
-    assert 0 < n_hot_pairs < 40 * 39 / 2
+    assert n_hot_pairs == 40 * 39 // 2
+    n_small_pairs = len(pairs[pairs.id_a.str.startswith("small")])
+    assert n_small_pairs == 5 * 4 // 2
     # suppressed block contributes no pairs at all
     assert not pairs.id_a.str.startswith("huge").any()
 
