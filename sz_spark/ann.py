@@ -21,9 +21,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from sz_spark.kernels import splitmix64
-
-
 def _dot(x, y):
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
@@ -90,42 +87,98 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def hyperplanes(dim: int, n_bits: int, seed: int = 0) -> np.ndarray:
-    """Deterministic ±1 hyperplanes from splitmix64 bit streams."""
-    idx = np.arange(n_bits * dim, dtype=np.uint64) + np.uint64(seed * 1_000_003)
-    bits = (splitmix64(idx) >> np.uint64(17)) & np.uint64(1)
-    return np.where(bits.astype(bool), 1.0, -1.0).reshape(n_bits, dim)
+#: quantization scale for bucket-bit dot products: sign tests run on
+#: floor(value * QUANT) int64 vectors, so the bit is EXACT integer math,
+#: reproducible across numpy / DuckDB / any executor (a float dot's
+#: last-ulp noise could flip a sign near zero and desync the index).
+QUANT = 1000
 
 
-def make_bucket_udf(dim: int, n_bits: int = 16, seed: int = 0):
-    planes = hyperplanes(dim, n_bits, seed)
+def md5_hyperplane_signs(dim: int, n_bits: int, n_tables: int) -> np.ndarray:
+    """(n_tables, n_bits, dim) ±1 hyperplanes from md5 parity — public,
+    deterministic, and reproducible in SQL (parity of the first hex
+    digit of md5('t|b|d')), so the whole index has a DuckDB twin."""
+    import hashlib
+
+    out = np.empty((n_tables, n_bits, dim), dtype=np.int64)
+    for t in range(n_tables):
+        for b in range(n_bits):
+            for d in range(dim):
+                h = hashlib.md5(f"{t}|{b}|{d}".encode()).hexdigest()
+                out[t, b, d] = 1 if int(h[0], 16) % 2 == 0 else -1
+    return out
+
+
+def make_multitable_bucket_udf(dim: int, n_bits: int, n_tables: int):
+    """embedding -> array<long> of n_tables bucket keys, computed in ONE
+    corpus scan (one matmul against all tables' planes at once) — the
+    round-1 design scanned the corpus once per table."""
+    planes = md5_hyperplane_signs(dim, n_bits, n_tables).reshape(
+        n_tables * n_bits, dim
+    )
     weights = (1 << np.arange(n_bits, dtype=np.int64)).astype(np.int64)
 
-    @pandas_udf(T.LongType())
-    def bucket(embs: pd.Series) -> pd.Series:
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(embs: pd.Series) -> pd.Series:
         mat = np.asarray([np.asarray(e, dtype=np.float64) for e in embs])
         if mat.size == 0:
-            return pd.Series(np.zeros(0, dtype=np.int64))
-        signs = (mat @ planes.T) > 0  # (n, n_bits)
-        return pd.Series((signs.astype(np.int64) * weights).sum(axis=1))
+            return pd.Series([])
+        q = np.floor(mat * QUANT).astype(np.int64)  # exact int sign tests
+        bits = (q @ planes.T) > 0  # (n, n_tables*n_bits)
+        bits = bits.reshape(len(q), n_tables, n_bits).astype(np.int64)
+        keys = (bits * weights[None, None, :]).sum(axis=2)  # (n, n_tables)
+        return pd.Series(list(keys))
 
-    return bucket
+    return buckets
 
 
-def random_hyperplane_buckets(
-    embeddings: DataFrame, dim: int, n_bits: int = 16, n_tables: int = 4, seed: int = 0
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
 ) -> DataFrame:
-    """(vec_id, table, bucket) — one row per hash table."""
-    out = None
-    for t in range(n_tables):
-        b = make_bucket_udf(dim, n_bits, seed=seed * 97 + t)
-        part = embeddings.select(
-            "vec_id",
-            F.lit(t).alias("table"),
-            b(F.col("embedding").cast("array<double>")).alias("bucket"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    """(id, table, bucket) — one scan, posexploded per table."""
+    udf = make_multitable_bucket_udf(dim, n_bits, n_tables)
+    return embeddings.select(
+        F.col(id_col), udf(F.col("embedding")).alias("bks")
+    ).select(id_col, F.posexplode("bks").alias("table", "bucket"))
+
+
+def hyperplane_buckets_sql_cte(
+    dim: int,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    source: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
+    """DuckDB CTE chain (no WITH) ending in buckets(vec_id, t, bucket) —
+    the exact twin of :func:`hyperplane_buckets`: ±1 md5-parity planes,
+    floor(val*QUANT) int quantization, integer sign tests."""
+    return f"""src AS ({source}),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], v -> CAST(floor(v * {QUANT}) AS BIGINT)) AS q
+  FROM src
+),
+planes AS (
+  SELECT t, b,
+         list_transform(range(0, {dim}), d ->
+           CASE WHEN strpos('02468ace',
+                substr(md5(t || '|' || b || '|' || d), 1, 1)) > 0
+                THEN 1::BIGINT ELSE -1::BIGINT END) AS svec
+  FROM range(0, {n_tables}) r1(t), range(0, {n_bits}) r2(b)
+),
+bits AS (
+  SELECT qv.vec_id, p.t, p.b,
+         CASE WHEN list_inner_product(qv.q, p.svec) > 0
+              THEN (1::BIGINT << p.b) ELSE 0::BIGINT END AS w
+  FROM qv CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id, t, CAST(sum(w) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id, t
+)"""
 
 
 def lsh_topk(
@@ -133,18 +186,15 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_bits: int = 12,
-    n_tables: int = 4,
-    seed: int = 0,
+    n_bits: int = 8,
+    n_tables: int = 8,
 ) -> DataFrame:
     """ANN: candidates share a bucket in >= 1 table, exact re-rank."""
     from pyspark.sql import Window
 
-    cb = random_hyperplane_buckets(embeddings, dim, n_bits, n_tables, seed)
-    qe = queries.select(
-        F.col("query_id").alias("vec_id"), "embedding"
-    )
-    qb = random_hyperplane_buckets(qe, dim, n_bits, n_tables, seed).withColumnRenamed(
+    cb = hyperplane_buckets(embeddings, dim, n_bits, n_tables)
+    qe = queries.select(F.col("query_id").alias("vec_id"), "embedding")
+    qb = hyperplane_buckets(qe, dim, n_bits, n_tables).withColumnRenamed(
         "vec_id", "query_id"
     )
     cand = (
@@ -179,3 +229,36 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def lsh_topk_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 8,
+) -> str:
+    """DuckDB twin of :func:`lsh_topk` with queries = vec_id < n_queries
+    (a corpus subset, so one buckets CTE serves both sides)."""
+    return f"""
+WITH {hyperplane_buckets_sql_cte(dim, n_bits, n_tables)},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM buckets c JOIN buckets q USING (t, bucket)
+  WHERE q.vec_id < {n_queries} AND c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand
+  JOIN embeddings c ON c.vec_id = cand.vec_id
+  JOIN embeddings q ON q.vec_id = cand.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

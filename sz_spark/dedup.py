@@ -281,15 +281,98 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def embedding_near_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH bucketing + exact re-rank —
+    the DEFAULT registered operator (the brute-force twin below is the
+    small-scale oracle baseline only; its cartesian join must never be
+    the deployed plan).
+
+    One corpus scan computes all n_tables bucket keys (ann.
+    make_multitable_bucket_udf); candidates join within (table, bucket)
+    only; survivors get exact float64 cosine and the threshold.  Scale
+    math: expected within-bucket pair work is n^2 * n_tables / 2^n_bits
+    spread over 2^n_bits * n_tables keys; raise n_bits with corpus size
+    (24-32 bits at 10^9 vectors) and cap residual hot buckets like any
+    LSH block.  Semantics are standard LSH near-dup: a pair is reported
+    iff it shares >= 1 bucket AND cosine >= threshold; both engines
+    compute the identical index (md5-parity planes, integer-quantized
+    sign tests), so the result is exactly reproducible."""
+    from sz_spark import ann
+
+    bk = ann.hyperplane_buckets(embeddings, dim, n_bits, n_tables)
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    withv = cand.join(
+        e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a")), "id_a"
+    ).join(
+        e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b")), "id_b"
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda p: p * p), F.lit(0.0), lambda acc, v: acc + v
+            )
+        )
+
+    cos = dot / (norm(F.col("emb_a")) * norm(F.col("emb_b")))
+    return (
+        withv.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_pairs_lsh_sql(
+    threshold: float = 0.9, dim: int = 64, n_bits: int = 8, n_tables: int = 8
+) -> str:
+    from sz_spark import ann
+
+    return f"""
+WITH {ann.hyperplane_buckets_sql_cte(dim, n_bits, n_tables)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b USING (t, bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+FROM cand
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= {threshold}
+"""
+
+
 def embedding_near_pairs(
     embeddings: DataFrame, threshold: float = 0.9
 ) -> DataFrame:
     """Brute-force cosine near-dup pairs — the oracle-checkable baseline.
 
     Native F.zip_with/F.aggregate dot products (JVM-side, no Python).
-    Quadratic by construction: at corpus scale use sz_spark.ann's
-    LSH-bucketed variant; this baseline exists for correctness checks
-    and small reference sets.
+    Quadratic by construction: the registered operator is
+    :func:`embedding_near_pairs_lsh`; this baseline exists for recall
+    checks (tests/test_queries.py) and small reference sets.
     """
     # compute in float64 on both sides (float32 noise would poke through
     # the 6-decimal rounding the oracle compares on)

@@ -985,8 +985,12 @@ def dedup_simhash_pairs(spark, sf):
 
 
 def dedup_embedding_cosine(spark, sf):
-    # corpus max pairwise cosine is ~0.48 — 0.4 keeps the check non-trivial
-    return dedup.embedding_near_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+    # corpus max pairwise cosine is ~0.48 — 0.4 keeps the check non-trivial.
+    # LSH-bucketed plan (no cartesian join); the brute-force baseline is
+    # pytest-only (test_embedding_lsh_recall).
+    return dedup.embedding_near_pairs_lsh(
+        _t(spark, sf, "embeddings"), threshold=0.4, dim=64
+    )
 
 
 def ann_cosine_topk(spark, sf):
@@ -998,6 +1002,9 @@ def ann_cosine_topk(spark, sf):
 
 
 def ann_lsh_topk(spark, sf):
+    """Single-scan multi-table hyperplane LSH + exact re-rank, with an
+    exact DuckDB twin of the whole index (md5-parity planes, integer
+    sign tests — see ann.hyperplane_buckets_sql_cte)."""
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1082,9 +1089,12 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_oracle()),
     "dedup_simhash": (dedup_simhash, dedup.SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, dedup.simhash_near_pairs_sql()),
-    "dedup_embedding_cosine": (dedup_embedding_cosine, dedup.embedding_near_pairs_sql(0.4)),
+    "dedup_embedding_cosine": (
+        dedup_embedding_cosine,
+        dedup.embedding_near_pairs_lsh_sql(0.4, dim=64),
+    ),
     "ann_cosine_topk": (ann_cosine_topk, ann.cosine_topk_sql(10, 5)),
-    "ann_lsh_topk": (ann_lsh_topk, None),
+    "ann_lsh_topk": (ann_lsh_topk, ann.lsh_topk_sql(10, 5, dim=64)),
     "text_lang_id": (text_lang_id, textops.LANG_ID_SQL),
     "text_quality": (text_quality, textops.QUALITY_SQL),
     "text_token_count": (text_token_count, textops.TOKEN_COUNTS_SQL),

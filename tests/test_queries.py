@@ -82,3 +82,39 @@ def test_entry_smoke(spark):
     rows = df.count()
     assert rows > 0
     assert set(df.columns) == {"conv_id", "cluster_id", "cluster_size"}
+
+
+def test_embedding_lsh_recall(spark):
+    """The registered LSH near-dup plan vs the brute-force baseline:
+    every LSH pair must appear in the brute-force result (precision 1 —
+    the exact re-rank guarantees it), and recall must be positive at
+    the corpus's weak-similarity regime (cos <= 0.48; LSH is designed
+    for >= 0.9 near-dups where per-table collision is ~100x higher)."""
+    from sz_spark import dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_pairs_lsh(emb, threshold=0.4, dim=64).collect()
+    }
+    assert lsh <= brute  # exact re-rank: no false positives
+    assert len(brute) == 0 or len(lsh) > 0
+
+
+def test_simhash_bucket_cap(spark):
+    """max_bucket_size drops stop-key buckets: identical signatures in
+    an oversized bucket produce no pairs, small buckets are unaffected."""
+    from sz_spark import dedup
+
+    rows = [(i, 0) for i in range(50)] + [(100, 31), (101, 31)]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    capped = dedup.simhash_near_pairs(sigs, max_hamming=3, max_bucket_size=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}
+    uncapped = dedup.simhash_near_pairs(sigs, max_hamming=3)
+    # hamming(0, 31) = 5 > 3, so cross-group pairs are filtered
+    assert uncapped.count() == 50 * 49 // 2 + 1
