@@ -167,6 +167,51 @@ def make_sw_udf(substitution=None, gap_open=-1, gap_extend=-1):
 # ---------------------------------------------------------------------------
 
 
+@pandas_udf(T.StringType())
+def utf8_casefold_udf(texts: pd.Series) -> pd.Series:
+    """Full Unicode case folding (utf8_uncased_fold, reference
+    python/README.md:613-628; kernels utf8_uncased.h).  Python's
+    str.casefold IS the oracle the reference tests against
+    (test/uncased.py), and it differs from lower() exactly where the
+    reference does: ß→ss, İ→i+U+0307, ligatures, etc."""
+    return texts.map(lambda s: None if s is None else str(s).casefold())
+
+
+def make_utf8_norm_udf(form: str = "NFC"):
+    """Unicode normalization (utf8_norm NFC/NFD/NFKC/NFKD,
+    python/stringzilla.c:3986-4155).  unicodedata.normalize is the
+    reference's own test oracle (test/utf8_norm.py:84-87)."""
+    assert form in ("NFC", "NFD", "NFKC", "NFKD")
+
+    @pandas_udf(T.StringType())
+    def norm(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(
+            lambda s: None if s is None else unicodedata.normalize(form, str(s))
+        )
+
+    return norm
+
+
+def make_translate_lut_udf(lut: bytes):
+    """Full 256-byte LUT translate (sz translate, memory.h:153 sz_lookup
+    — the 21 GB/s headline kernel, bench README.md:217-237).  Unlike
+    F.translate (char-level), this is the reference's byte-level map,
+    via Python's C-speed bytes.translate over Arrow batches."""
+    assert len(lut) == 256
+
+    @pandas_udf(T.StringType())
+    def translate(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda s: None
+            if s is None
+            else str(s).encode("utf-8").translate(lut).decode("utf-8", "replace")
+        )
+
+    return translate
+
+
 def hash_multiseed_xxhash(col, seeds=(0, 1, 42, 314159)):
     """Pure-JVM multiseed hashing (sz.hash_multiseed analog, hash.h:173):
     one xxhash64 per seed, no Python anywhere.  This is the production

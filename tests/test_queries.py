@@ -118,3 +118,58 @@ def test_simhash_bucket_cap(spark):
     uncapped = dedup.simhash_near_pairs(sigs, max_hamming=3)
     # hamming(0, 31) = 5 > 3, so cross-group pairs are filtered
     assert uncapped.count() == 50 * 49 // 2 + 1
+
+
+def test_casefold_conformance(spark):
+    """utf8_uncased_fold edge chars where casefold() != lower(): the
+    reference's own oracle is Python str.casefold (test/uncased.py)."""
+    from pyspark.sql import functions as F
+
+    from sz_spark.udfs import utf8_casefold_udf
+
+    cases = ["Straße", "İstanbul", "ﬁle", "ΣΊΣΥΦΟΣ", "Hello"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {r.s: r.f for r in df.select("s", utf8_casefold_udf(F.col("s")).alias("f")).collect()}
+    for c in cases:
+        assert got[c] == c.casefold()
+    # and they genuinely diverge from lower() on the first three
+    assert any(got[c] != c.lower() for c in cases[:3])
+
+
+def test_utf8_norm_conformance(spark):
+    """utf8_norm NFC/NFD/NFKC vs unicodedata.normalize — the reference's
+    oracle (test/utf8_norm.py:84-87)."""
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from sz_spark.udfs import make_utf8_norm_udf
+
+    denorm = "éàô ﬁ ①"
+    df = spark.createDataFrame([(denorm,)], "s string")
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        udf = make_utf8_norm_udf(form)
+        got = df.select(udf(F.col("s")).alias("n")).collect()[0].n
+        assert got == unicodedata.normalize(form, denorm), form
+
+
+def test_hmac_rfc2104(spark):
+    """Byte-exact RFC-2104 HMAC-SHA256 via the same pad constants the
+    registered hex-composition query uses, checked against hashlib."""
+    import hashlib
+    import hmac as hmac_mod
+
+    from pyspark.sql import functions as F
+
+    from sz_spark.queries import HMAC_KEY, _hmac_pads
+
+    ipad, opad = _hmac_pads()
+    msgs = ["", "hello world", "a" * 200]
+    df = spark.createDataFrame([(m,) for m in msgs], "m string")
+    # RFC-2104 with raw inner digest bytes (unhex), all native Spark
+    inner = F.sha2(F.concat(F.lit(ipad), F.encode("m", "utf-8")), 256)
+    mac = F.sha2(F.concat(F.lit(opad), F.unhex(inner)), 256)
+    got = {r.m: r.mac for r in df.select("m", mac.alias("mac")).collect()}
+    for m in msgs:
+        ref = hmac_mod.new(HMAC_KEY, m.encode(), hashlib.sha256).hexdigest()
+        assert got[m] == ref, m
