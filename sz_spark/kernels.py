@@ -141,6 +141,7 @@ def fingerprints(
     widths: Sequence[int] | None = None,
     seed: int = 0,
     batch_bytes: int = 1 << 24,
+    with_counts: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Rolling-hash MinHash + Count-Min fingerprints for a batch of texts.
 
@@ -174,7 +175,9 @@ def fingerprints(
             max_len = cand_len
             end += 1
         idx = order[start:end]
-        h, c = _fingerprint_padded_batch([texts[i] for i in idx], params)
+        h, c = _fingerprint_padded_batch(
+            [texts[i] for i in idx], params, with_counts=with_counts
+        )
         hashes[idx] = h
         counts[idx] = c
         start = end
@@ -182,9 +185,156 @@ def fingerprints(
 
 
 def _fingerprint_padded_batch(
+    batch: list[bytes], params: FingerprintParams, with_counts: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fused all-dims batch kernel over a length-ASCENDING batch.
+
+    ``with_counts=False`` skips the count-of-min bookkeeping (3 of the
+    ~13 memory passes per position) for consumers that only need the
+    min-hashes — the LSH blocking path (udfs.make_band_keys_udf) never
+    reads counts.  Hash values are identical either way.
+
+    One Python step per BYTE POSITION updates all ``ndim`` dimensions at
+    once (the round-1 kernel looped positions separately per width
+    group — 4-8x more interpreter steps on 4-8x narrower arrays, which
+    measured 0.5 MB/s/core; this layout measures 2-4x that).  Three
+    phases per dimension, tracked by position vs its window width w:
+
+    * p <  w-1 : prefix — state rolls in new bytes, no discard, no min
+    * p == w-1 : boundary — first full window; min := state, count := 1
+    * p >= w   : rolling — fused discard+shift update, min/count track
+
+    Once p >= max(widths) every dimension is rolling and the hot loop
+    runs branch- and mask-free: one (rows x ndim) gather for the
+    discarded bytes (old = terms[:, p - widths]), the fused multiply-add,
+    the reference's f64 Barrett reduction, and the min/count update —
+    all in-place on preallocated buffers.  Exactness is unchanged: same
+    op sequence per dimension, guarded by the uint64 == f64-mirror ==
+    big-int conformance suite (tests/test_kernels.py).
+    """
+    b = len(batch)
+    ndim = params.ndim
+    lengths = np.asarray([len(t) for t in batch], dtype=np.int64)
+    assert b == 0 or (np.diff(lengths) >= 0).all(), "batch must be length-sorted"
+    max_len = int(lengths.max()) if b else 0
+
+    hashes = np.full((b, ndim), MAX_HASH_U32, dtype=np.uint32)
+    counts = np.zeros((b, ndim), dtype=np.uint32)
+    if b == 0 or max_len == 0:
+        return hashes, counts
+
+    # permute dims width-contiguous so the hot loop's discarded-byte term
+    # is a per-group broadcast column (no (rows x ndim) gather); results
+    # scatter back through `perm` at the end
+    perm = np.argsort(params.widths, kind="stable")
+    widths = params.widths[perm].astype(np.int64)
+    groups = [
+        (int(w), slice(int(i0), int(i0 + n)))
+        for w, i0, n in zip(*np.unique(widths, return_index=True, return_counts=True))
+    ]
+
+    terms = np.zeros((b, max_len + 1), dtype=np.float64)
+    for i, t in enumerate(batch):
+        if t:
+            terms[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+    terms += 1.0  # byte + 1, exact in f64
+
+    mult = params.mult[perm].astype(np.float64)[None, :]  # (1, D)
+    mod = params.mod[perm].astype(np.float64)[None, :]
+    inv_mod = 1.0 / mod
+    disc = params.disc[perm].astype(np.float64)[None, :]
+
+    sentinel = np.float64(2.0**60)
+    state = np.zeros((b, ndim), dtype=np.float64)
+    minv = np.full((b, ndim), sentinel, dtype=np.float64)
+    # count fits float32 exactly (values <= positions < 2^24)
+    count = np.zeros((b, ndim), dtype=np.float32)
+
+    # first active row per position (rows are length-ascending)
+    ks = np.searchsorted(lengths, np.arange(max_len), side="right")
+    max_w = int(widths.max())
+    tmp = np.empty((b, ndim), dtype=np.float64)
+
+    # --- warm-up phase: prefix/boundary/rolling coexist (p < max_w) ---
+    for p in range(min(max_w, max_len)):
+        k = int(ks[p])
+        s = state[k:]
+        s *= mult
+        s += terms[k:, p][:, None]
+        for w, sl in groups:
+            if w <= p:  # rolling: discard the byte leaving the window
+                s[:, sl] += disc[:, sl] * terms[k:, p - w][:, None]
+        t = tmp[: s.shape[0]]
+        np.multiply(s, inv_mod, out=t)
+        np.floor(t, out=t)
+        t *= mod
+        s -= t
+        s += mod * (s < 0.0)
+        s -= mod * (s >= mod)
+        for w, sl in groups:
+            if w - 1 == p:  # boundary: first full window
+                minv[k:, sl] = s[:, sl]
+                count[k:, sl] = 1.0
+            elif w <= p:  # rolling: min/count track
+                s2 = s[:, sl]
+                mv = minv[k:, sl]
+                if with_counts:
+                    c = count[k:, sl]
+                    c *= s2 >= mv
+                    c += s2 <= mv
+                    count[k:, sl] = c
+                minv[k:, sl] = np.minimum(mv, s2)
+
+    # --- hot loop: every dimension rolling, no masks, all in-place ---
+    ge_buf = np.empty((b, ndim), dtype=bool)
+    min_mod = float(params.mod.min())
+    for p in range(max_w, max_len):
+        k = int(ks[p])
+        s = state[k:]
+        t = tmp[: b - k]
+        s *= mult
+        s += terms[k:, p][:, None]
+        for w, sl in groups:
+            tsl = t[:, sl]
+            np.multiply(disc[:, sl], terms[k:, p - w][:, None], out=tsl)
+            s[:, sl] += tsl
+        np.multiply(s, inv_mod, out=t)
+        np.floor(t, out=t)
+        t *= mod
+        s -= t
+        # clamp only when the floor-reduction actually left residue —
+        # detected by scalar min/max reductions (no bool-matrix allocs
+        # on the common all-in-range path)
+        if s.min() < 0.0:
+            s += mod * (s < 0.0)
+        if s.max() >= min_mod:
+            s -= mod * (s >= mod)
+        mv = minv[k:]
+        if with_counts:
+            c = count[k:]
+            g = ge_buf[: s.shape[0]]
+            np.greater_equal(s, mv, out=g)
+            c *= g
+            np.less_equal(s, mv, out=g)
+            c += g
+        np.minimum(mv, s, out=mv)
+
+    set_mask = minv < sentinel
+    hashes[:, perm] = np.where(
+        set_mask,
+        minv.astype(np.uint64) & _U64(MAX_HASH_U32),
+        np.uint64(MAX_HASH_U32),
+    ).astype(np.uint32)
+    counts[:, perm] = np.where(set_mask, count, np.float32(0.0)).astype(np.uint32)
+    return hashes, counts
+
+
+def _fingerprint_padded_batch_grouped(
     batch: list[bytes], params: FingerprintParams
 ) -> tuple[np.ndarray, np.ndarray]:
     """Width-group-major batch kernel over a length-ASCENDING batch.
+    Round-1 production path, retained as a structurally independent
+    differential twin of the fused kernel (tests assert equality).
 
     Three structural speedups over a naive loop, all exactness-preserving:
 

@@ -280,7 +280,10 @@ def make_band_keys_udf(
     def band_keys(texts: pd.Series) -> pd.Series:
         import numpy as np
 
-        h, _c = K.fingerprints(_to_bytes(texts), ndim=ndim, widths=widths, seed=seed)
+        # counts never feed the band keys — skip their bookkeeping
+        h, _c = K.fingerprints(
+            _to_bytes(texts), ndim=ndim, widths=widths, seed=seed, with_counts=False
+        )
         n = h.shape[0]
         out = np.empty((n, n_bands), dtype=np.uint64)
         for b in range(n_bands):

@@ -340,3 +340,33 @@ def test_simhash_similar_docs_close():
         return bin(int(a) ^ int(b)).count("1")
     assert hamming(sigs[0], sigs[1]) < hamming(sigs[0], sigs[2])
     assert (K.simhash64([t1]) == sigs[0]).all()  # deterministic
+
+
+def test_fingerprint_fused_equals_grouped():
+    """The fused production kernel vs the structurally independent
+    width-grouped twin (round-1 path) — plus the with_counts=False fast
+    path's hash identity."""
+    import numpy as np
+
+    from sz_spark import kernels as K
+
+    texts = sorted(
+        [b"", b"a", b"ab" * 30, b"x" * 47, b"y" * 48, bytes(range(256)) * 4],
+        key=len,
+    )
+    for widths in [None, (16, 24, 32, 48), (3,), (48,), (5, 3, 9)]:
+        p = K.fingerprint_params(128, widths, 0)
+        h1, c1 = K._fingerprint_padded_batch(texts, p)
+        h2, c2 = K._fingerprint_padded_batch_grouped(texts, p)
+        h3, _ = K._fingerprint_padded_batch(texts, p, with_counts=False)
+        assert (h1 == h2).all() and (c1 == c2).all(), widths
+        assert (h1 == h3).all(), widths
+
+
+def test_simhash_batch_equals_scalar_hash():
+    """fnv1a_splitmix_batch is bit-identical to the scalar PRF."""
+    from sz_spark import kernels as K
+
+    toks = [b"", b"a", b"hello world", b"\xff\x00\x10" * 5]
+    got = K.fnv1a_splitmix_batch(toks)
+    assert all(int(x) == K.hash_bytes_u64(t) for x, t in zip(got, toks))
