@@ -51,6 +51,9 @@ HEADLINE = [
     "szs_levenshtein",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "szs_hash_multiseed",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_quality",
     "er_pair_scores_lev",
@@ -107,7 +110,7 @@ def replicated_documents(spark, sf_dir: str, k: int):
     return out, k
 
 
-def run_pipeline_at(cores: int, sf_dir: str, scale_k: int) -> dict:
+def _run_pipeline_probe(cores: int, sf_dir: str, scale_k: int) -> dict:
     from sz_spark.pipeline import PipelineConfig, run_pipeline
     from sz_spark.session import build_session
     from sz_spark.transcripts import build_transcripts_from_documents
@@ -133,6 +136,32 @@ def run_pipeline_at(cores: int, sf_dir: str, scale_k: int) -> dict:
         "wall_sec": round(wall, 2),
         "turns_per_sec": round(n_turns / wall, 1),
     }
+
+
+def run_pipeline_at(cores: int, sf_dir: str, scale_k: int) -> dict:
+    """Run one scaling probe in a FRESH subprocess (own JVM).
+
+    Round 1 ran all probes in one process; stopping/rebuilding sessions
+    in a shared JVM let late localCheckpoint cleanup jobs from the dead
+    session hit the new DAGScheduler, spraying a spurious stack trace
+    into the bench stderr (VERDICT r1 observability item).  A process
+    per probe removes the race entirely and keeps probes thermally and
+    JVM-warmup independent."""
+    import subprocess
+
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--scale-probe",
+        str(cores),
+        sf_dir,
+        str(scale_k),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"probe produced no JSON: {out.stdout[-500:]} {out.stderr[-500:]}")
 
 
 def main() -> None:
@@ -213,4 +242,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 2 and sys.argv[1] == "--scale-probe":
+        cores, sf_dir, scale_k = int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
+        print(json.dumps(_run_pipeline_probe(cores, sf_dir, scale_k)), flush=True)
+    else:
+        main()
