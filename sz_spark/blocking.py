@@ -174,8 +174,12 @@ def candidate_pairs(bands: DataFrame, id_col: str = "conv_id") -> DataFrame:
     if "salt" in bands.columns:
         keys = ["band_id", "band_hash", "salt"]
         a = bands.drop("n_salts").alias("a")
-        b = (
-            bands.drop("salt")
+        # replicate ONLY the salted minority; the n_salts == 1 majority
+        # keeps its row as-is (no per-row array allocation + explode)
+        plain = bands.filter(F.col("n_salts") == 1).drop("n_salts")
+        salted = (
+            bands.filter(F.col("n_salts") > 1)
+            .drop("salt")
             .withColumn(
                 "salt",
                 F.explode(
@@ -183,8 +187,8 @@ def candidate_pairs(bands: DataFrame, id_col: str = "conv_id") -> DataFrame:
                 ),
             )
             .drop("n_salts")
-            .alias("b")
         )
+        b = plain.unionByName(salted).alias("b")
     else:
         keys = ["band_id", "band_hash"]
         a = bands.alias("a")
