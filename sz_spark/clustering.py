@@ -80,9 +80,14 @@ def connected_components(
     an ER run is orders of magnitude smaller than the input (only
     above-threshold pairs), so when it fits comfortably on the driver
     (< local_threshold edges) a union-find there beats dozens of
-    distributed rounds.  Beyond that, alternating large-star/small-star
-    rounds run fully distributed, each round checkpointed so a failed
-    run resumes mid-stage.
+    distributed rounds.  Driver-memory math for the default 2M-edge
+    threshold: ~200 B/edge for the collected (src, dst) string tuples
+    plus ~150 B/entry for the parent dict over <= 2 * edges nodes ->
+    ~1 GB peak worst-case, inside a standard 4-8 GB driver with margin;
+    raise local_threshold only with driver memory to back it.  Beyond
+    that, alternating large-star/small-star rounds run fully
+    distributed, each round checkpointed so a failed run resumes
+    mid-stage.
 
     ``checkpoint``: optional callable ``(df, round_idx) -> df`` that
     persists the intermediate edge set and returns a lineage-truncated
@@ -139,15 +144,17 @@ def connected_components(
 def clusters_with_singletons(
     assignments: DataFrame, all_ids: DataFrame, id_col: str = "conv_id"
 ) -> DataFrame:
-    """Add singleton clusters for ids that matched nothing."""
-    # the match-graph assignments are usually orders of magnitude smaller
-    # than the corpus — broadcast when they provably fit, else sort-merge
-    asg = assignments
-    if asg.limit(3_000_001).count() <= 3_000_000:
-        asg = F.broadcast(asg)
+    """Add singleton clusters for ids that matched nothing.
+
+    The match-graph assignments are usually orders of magnitude smaller
+    than the corpus; the broadcast-vs-shuffle decision is left to AQE,
+    which sizes the built side by actual BYTES at runtime (round 1
+    probed with limit(3M).count() — an extra job, and a row count is
+    the wrong unit: 3M wide rows can blow the broadcast memory a byte
+    threshold would have rejected)."""
     return (
         all_ids.select(F.col(id_col).alias("id"))
-        .join(asg, "id", "left")
+        .join(assignments, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
