@@ -67,7 +67,7 @@ def minhash_bands(
     seed: int = 0,
     n_bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS,
-    prefix_len: int = 32,
+    prefix_len: int = 56,
 ) -> DataFrame:
     """docs -> (id, band_id, band_hash): the one-pass blocking stage.
 
@@ -81,8 +81,19 @@ def minhash_bands(
     have too few rolling windows for reliable band agreement (measured:
     14/3753 true pairs at sf0.1 were 2-turn docs missed by all 32
     bands); their shared conversation-handle prefix recovers them.
-    Block caps/salting apply to prefix blocks like any other.
-    ``prefix_len=0`` disables the layer."""
+
+    ``prefix_len`` must COVER the strong attribute: the synthetic
+    corpus's conversation handle is 49 bytes ('u' + 6 digits x 8), and
+    the round-1 default of 32 cut it mid-handle — every block then
+    mixed ~dozens of entities sharing leading digits, which was cheap
+    only because salting silently dropped cross-salt pairs.  With
+    recall-preserving salting (round 2) those precision-less blocks
+    would pay full O(s^2); at 56 bytes each prefix block is one entity
+    (its 2-3 conversation variants), recall is identical (same-entity
+    variants share the WHOLE handle by construction), and the prefix
+    layer's pair cost is O(n).  Block caps/salting still apply to
+    prefix blocks like any other.  ``prefix_len=0`` disables the
+    layer."""
     keys = make_band_keys_udf(
         ndim=ndim, widths=widths, seed=seed, n_bands=n_bands,
         rows_per_band=rows_per_band,

@@ -431,6 +431,85 @@ FROM documents
 """
 
 
+def str_find_not_of(spark, sf):
+    """find_first_not_of / find_last_not_of over the vowel byteset
+    (find.h:563-611) — the not_of duals round 1 left unexercised."""
+    d = _t(spark, sf, "documents")
+    has = F.col("text").rlike("[^aeiou]")
+    first_not = F.when(
+        has, F.length(F.regexp_extract("text", "^[aeiou]*", 0)) + 1
+    ).otherwise(0)
+    last_not = F.when(
+        has,
+        F.length("text")
+        - F.length(F.regexp_extract(F.reverse(F.col("text")), "^[aeiou]*", 0)),
+    ).otherwise(0)
+    return d.select(
+        "doc_id",
+        first_not.alias("first_not_pos"),
+        last_not.alias("last_not_pos"),
+    )
+
+
+STR_FIND_NOT_OF_SQL = """
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[^aeiou]')
+            THEN length(regexp_extract(text, '^[aeiou]*')) + 1 ELSE 0 END AS first_not_pos,
+       CASE WHEN regexp_matches(text, '[^aeiou]')
+            THEN length(text) - length(regexp_extract(reverse(text), '^[aeiou]*')) ELSE 0 END AS last_not_pos
+FROM documents
+"""
+
+
+def str_utf8_whitespaces(spark, sf):
+    """utf8_split_whitespaces (utf8_tokens.h 25-char White_Space set)
+    over synthesized text mixing ASCII space, NBSP, ideographic space,
+    and LINE SEPARATOR — split on an explicit literal-char class both
+    engines share (round 1 tokenized on ASCII ' ' only)."""
+    d = _t(spark, sf, "documents")
+    u = F.concat(
+        F.substring("text", 1, 20),
+        F.lit("\u00a0x\u3000y\u2028z w"),
+    )
+    cls = "[ \u00A0\u3000\u2028\t]+"
+    return d.select(
+        "doc_id",
+        F.size(F.split(u, cls)).alias("n_parts"),
+        F.element_at(F.split(u, cls), -1).alias("last_part"),
+    )
+
+
+STR_UTF8_WS_SQL = """
+SELECT doc_id,
+       len(string_split_regex(substr(text, 1, 20) || chr(160) || 'x' || chr(12288) || 'y' || chr(8232) || 'z w',
+           '[ ' || chr(160) || chr(12288) || chr(8232) || chr(9) || ']+')) AS n_parts,
+       list_extract(string_split_regex(substr(text, 1, 20) || chr(160) || 'x' || chr(12288) || 'y' || chr(8232) || 'z w',
+           '[ ' || chr(160) || chr(12288) || chr(8232) || chr(9) || ']+'), -1) AS last_part
+FROM documents
+"""
+
+
+def q_sample_hash(spark, sf):
+    """Deterministic PRF sampling: keep doc iff the shared md5-derived
+    60-bit hash of its id ≡ 0 (mod 10).  Unlike RNG sampling (rows-only
+    by nature), this is exactly reproducible across engines, executors,
+    and retries — the property a 100 TB pipeline actually wants from
+    `sample(seed)`."""
+    d = _t(spark, sf, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("s42|"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return d.filter(h % 10 == 0).select("doc_id")
+
+
+Q_SAMPLE_HASH_SQL = """
+SELECT doc_id FROM documents
+WHERE ('0x' || substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+"""
+
+
 # --- utf8 uncased / normalization (python/README.md:613-628; stringzilla.c:3986-4155)
 
 
@@ -1309,6 +1388,9 @@ REGISTRY: dict[str, tuple] = {
     "str_splitlines": (str_splitlines, STR_SPLITLINES_SQL),
     "str_split_delimiters": (str_split_delimiters, STR_SPLIT_DELIM_SQL),
     "q_sample_with_replacement": (q_sample_with_replacement, None),
+    "str_find_not_of": (str_find_not_of, STR_FIND_NOT_OF_SQL),
+    "str_utf8_whitespaces": (str_utf8_whitespaces, STR_UTF8_WS_SQL),
+    "q_sample_hash": (q_sample_hash, Q_SAMPLE_HASH_SQL),
     "szs_hash_multiseed": (szs_hash_multiseed, SZS_MULTISEED_SQL),
     # ER pipeline
     "tr_transcripts": (tr_transcripts, transcripts_sql()),

@@ -173,3 +173,28 @@ def test_hmac_rfc2104(spark):
     for m in msgs:
         ref = hmac_mod.new(HMAC_KEY, m.encode(), hashlib.sha256).hexdigest()
         assert got[m] == ref, m
+
+
+def test_no_cartesian_in_registered_plans(spark):
+    """The registered embedding near-dup and ANN operators must plan as
+    bucket-key joins — a CartesianProduct / BroadcastNestedLoopJoin in
+    either is a scale regression (round-1 finding on the brute-force
+    default)."""
+    from sz_spark.queries import REGISTRY
+
+    for name in ("dedup_embedding_cosine", "ann_lsh_topk", "dedup_simhash_pairs"):
+        fn, _ = REGISTRY[name]
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_simhash_query_is_pure_jvm(spark):
+    """dedup_simhash must contain no Python/Arrow eval nodes — the
+    signature is native Spark expressions end to end."""
+    from sz_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["dedup_simhash"]
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
+        assert marker not in plan, marker
