@@ -510,6 +510,36 @@ WHERE ('0x' || substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 
 """
 
 
+def str_utf8_wordbreaks(spark, sf):
+    """utf8_wordbreaks (UAX-29 core-rules subset, utf8_wordbreaks.h):
+    the cross-engine row checks the tiling invariant on letters+spaces
+    (word segments == whitespace tokens there); the rules that make
+    UAX-29 non-trivial (apostrophes, MidNum digits, ExtendNumLet,
+    CRLF, combining marks) are pytest-checked in
+    test_wordbreaks_uax29_core."""
+    from sz_spark.udfs import utf8_wordbreaks_udf
+
+    d = _t(spark, sf, "documents")
+    clean = F.regexp_replace(F.substring("text", 1, 80), "[^a-z ]", "")
+    segs = utf8_wordbreaks_udf(clean)
+    words = F.filter(segs, lambda s: s != " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.try_element_at(words, F.lit(1)).alias("first_word"),
+    )
+
+
+STR_WORDBREAKS_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split(regexp_replace(substr(text, 1, 80), '[^a-z ]', '', 'g'), ' '),
+           x -> x != '')) AS n_words,
+       list_filter(string_split(regexp_replace(substr(text, 1, 80), '[^a-z ]', '', 'g'), ' '),
+           x -> x != '')[1] AS first_word
+FROM documents
+"""
+
+
 # --- utf8 uncased / normalization (python/README.md:613-628; stringzilla.c:3986-4155)
 
 
@@ -1391,6 +1421,7 @@ REGISTRY: dict[str, tuple] = {
     "str_find_not_of": (str_find_not_of, STR_FIND_NOT_OF_SQL),
     "str_utf8_whitespaces": (str_utf8_whitespaces, STR_UTF8_WS_SQL),
     "q_sample_hash": (q_sample_hash, Q_SAMPLE_HASH_SQL),
+    "str_utf8_wordbreaks": (str_utf8_wordbreaks, STR_WORDBREAKS_SQL),
     "szs_hash_multiseed": (szs_hash_multiseed, SZS_MULTISEED_SQL),
     # ER pipeline
     "tr_transcripts": (tr_transcripts, transcripts_sql()),

@@ -198,3 +198,21 @@ def test_simhash_query_is_pure_jvm(spark):
     plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     for marker in ("ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
         assert marker not in plan, marker
+
+
+def test_wordbreaks_uax29_core():
+    """The rules that make UAX-29 non-trivial, vs hand-derived
+    segmentations (reference surface utf8_wordbreaks.h)."""
+    from sz_spark.udfs import wordbreak_segments as wb
+
+    assert wb("don't stop") == ["don't", " ", "stop"]
+    assert wb("1,234.5 x") == ["1,234.5", " ", "x"]
+    assert wb("snake_case v2") == ["snake_case", " ", "v2"]
+    assert wb("a\r\nb") == ["a", "\r\n", "b"]
+    assert wb("étude") == ["étude"]  # combining acute attaches
+    assert wb("x, y") == ["x", ",", " ", "y"]  # lone comma separates
+    assert wb("a'") == ["a", "'"]  # trailing apostrophe breaks
+    assert wb("") == []
+    # tiling invariant: segments concatenate back to the input
+    for t in ("don't, stop_now 1,234...", "  spaced  out  "):
+        assert "".join(wb(t)) == t
