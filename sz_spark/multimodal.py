@@ -68,8 +68,11 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float, bool]:
     except ValueError:
         return 0, 0, 0.0, False
     body = np.frombuffer(payload[HEADER_LEN:], dtype=np.uint8)
-    mean = float(body.mean()) if body.size else 0.0
-    return width, height, round(mean, 6), True
+    # raw IEEE mean (sum/n), no rounding: consumers quantize; Python's
+    # banker-rounding would diverge from SQL half-up on exact binary
+    # ties (k/2^m byte means)
+    mean = float(int(body.sum(dtype=np.int64)) / body.size) if body.size else 0.0
+    return width, height, mean, True
 
 
 def real_codec_decode(payload: bytes):  # pragma: no cover - documented stub

@@ -1375,9 +1375,36 @@ def text_doc_fingerprint(spark, sf):
 
 
 def mm_decode_metadata(spark, sf):
+    """Binary-payload decode roundtrip, now ORACLE-CHECKED: the payload
+    is synthesized deterministically from documents, so every decoded
+    field (width, height, n_bytes, body byte-mean) is SQL-derivable and
+    DuckDB recomputes them from the raw text.  mean is exported as
+    floor(mean * 1e6) — both engines divide the same integers in IEEE
+    double and floor it, so the value is bit-identical (round() would
+    tie-break differently on exact k/2^m means)."""
     d = _t(spark, sf, "documents")
     payloads = multimodal.synthesize_binary_column(d)
-    return multimodal.decode_metadata(payloads.select("doc_id", "payload"))
+    dec = multimodal.decode_metadata(payloads.select("doc_id", "payload"))
+    return dec.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.floor(F.col("mean_byte") * 1e6).cast("long").alias("mean_byte_e6"),
+        "ok",
+    )
+
+
+MM_DECODE_SQL = """
+SELECT doc_id,
+       CAST(length(text) % 256 + 16 AS INT) AS width,
+       CAST(doc_id % 64 + 16 AS INT) AS height,
+       CAST(14 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(floor(CAST(list_aggregate(list_transform(regexp_extract_all(text, '.'), x -> ord(x)), 'sum') AS DOUBLE)
+                  / octet_length(encode(text)) * 1000000.0) AS BIGINT) AS mean_byte_e6,
+       TRUE AS ok
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1459,5 +1486,5 @@ REGISTRY: dict[str, tuple] = {
     "text_quality": (text_quality, textops.QUALITY_SQL),
     "text_token_count": (text_token_count, textops.TOKEN_COUNTS_SQL),
     "text_doc_fingerprint": (text_doc_fingerprint, textops.DOC_FINGERPRINT_SQL),
-    "mm_decode_metadata": (mm_decode_metadata, None),
+    "mm_decode_metadata": (mm_decode_metadata, MM_DECODE_SQL),
 }
