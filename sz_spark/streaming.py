@@ -102,6 +102,114 @@ def _canonicalize_conv(
     )
 
 
+FP_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("min_hashes", T.ArrayType(T.LongType())),
+        T.StructField("min_counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+FP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("seen_idxs", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def make_stream_turn_fingerprints(ndim: int = 128, widths=None, seed: int = 0):
+    """Streaming BAG-OF-TURNS MinHash/CMS sketch per conversation.
+
+    Each arriving turn is fingerprinted independently and min-merged
+    into the conversation's running sketch via the reference's sketch
+    merge law (fingerprints/serial.hpp:601-625 — associative,
+    commutative, idempotent-per-element), so the result is independent
+    of arrival order and micro-batch boundaries BY CONSTRUCTION, with
+    O(ndim) state per conversation.  This is deliberately the
+    bag-of-turns sketch, not the concatenated-document fingerprint:
+    rolling windows spanning turn boundaries cannot be formed until all
+    earlier turns arrived, which would force O(doc) state
+    (kernels.FingerprintStream covers that sequential-chunk contract);
+    for blocking/dedup the turn-bag sketch is the standard streaming
+    substitute.  Replayed turns dedup on turn_idx (exactly-once state)."""
+    from sz_spark import kernels as K
+
+    def _fp_conv(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (conv_id,) = key
+        if state.hasTimedOut:
+            hashes, counts, seen = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [len(seen)],
+                    "min_hashes": [list(hashes)],
+                    "min_counts": [list(counts)],
+                }
+            )
+            return
+
+        if state.exists:
+            prev = state.get
+            h = np.asarray(prev[0], dtype=np.uint32)
+            c = np.asarray(prev[1], dtype=np.uint32)
+            seen = set(prev[2])
+        else:
+            h = np.full(ndim, K.MAX_HASH_U32, dtype=np.uint32)
+            c = np.zeros(ndim, dtype=np.uint32)
+            seen = set()
+        new_texts, new_idxs = [], []
+        for pdf in pdfs:
+            for ti, tx in zip(pdf["turn_idx"], pdf["text"]):
+                ti = int(ti)
+                if ti not in seen:
+                    seen.add(ti)
+                    new_idxs.append(ti)
+                    new_texts.append(("" if tx is None else str(tx)).encode())
+        if new_texts:
+            th, tc = K.fingerprints(new_texts, ndim=ndim, widths=widths, seed=seed)
+            for i in range(len(new_texts)):
+                h, c = K.merge_count_min_sketches(h, c, th[i], tc[i])
+        state.update(
+            (
+                [int(x) for x in h],
+                [int(x) for x in c],
+                sorted(seen),
+            )
+        )
+        state.setTimeoutDuration(2000)
+        yield pd.DataFrame(
+            {"conv_id": [], "n_turns": [], "min_hashes": [], "min_counts": []}
+        ).astype({"conv_id": "object", "n_turns": "int64"})
+
+    return _fp_conv
+
+
+def stream_turn_fingerprints(
+    transcripts_stream: DataFrame, ndim: int = 128, widths=None, seed: int = 0
+) -> DataFrame:
+    """transcripts stream -> per-conversation bag-of-turns sketch."""
+    fn = make_stream_turn_fingerprints(ndim=ndim, widths=widths, seed=seed)
+    return (
+        transcripts_stream.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FP_SCHEMA,
+            stateStructType=FP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def stream_canonicalize(transcripts_stream: DataFrame) -> DataFrame:
     """transcripts stream -> canonical conversation docs (update mode)."""
     return (

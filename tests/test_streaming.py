@@ -111,3 +111,70 @@ def test_stream_canonicalize_matches_batch(spark, tmp_path):
     assert list(got["conv_id"]) == list(exp["conv_id"])
     assert list(got["doc"]) == list(exp["doc"])
     assert list(got["n_turns"]) == list(exp["n_turns"])
+
+
+def test_stream_turn_fingerprints_matches_batch_merge(spark, tmp_path):
+    """Bag-of-turns sketch: streaming (out-of-order turns, replayed
+    duplicates, multiple micro-batches) must equal the batch min-merge
+    over each conversation's turns — the sketch merge law in an actual
+    stateful operator."""
+    import numpy as np
+
+    from sz_spark import kernels as K
+    from sz_spark.streaming import stream_turn_fingerprints
+    from sz_spark.transcripts import build_transcripts
+
+    convs = ["c0", "c1", "c2", "d0"]
+    tr = (
+        build_transcripts(spark, SF_DIR)
+        .filter(F.col("conv_id").isin(convs))
+        .localCheckpoint()
+    )
+
+    src = str(tmp_path / "turns")
+    odd = tr.filter(F.col("turn_idx") % 2 == 1)
+    even = tr.filter(F.col("turn_idx") % 2 == 0)
+    odd.write.mode("overwrite").parquet(src)
+    even.write.mode("append").parquet(src)
+    odd.write.mode("append").parquet(src)  # replayed duplicates
+
+    stream = spark.readStream.schema(tr.schema).parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream_turn_fingerprints(stream, ndim=16)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        time.sleep(2)
+        try:
+            if os.path.exists(out_dir) and spark.read.parquet(out_dir).count() >= len(convs):
+                break
+        except Exception:
+            pass
+    q.stop()
+
+    got = {
+        r["conv_id"]: (list(r["min_hashes"]), list(r["min_counts"]), r["n_turns"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    rows = tr.select("conv_id", "turn_idx", "text").collect()
+    by_conv: dict = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append((r["turn_idx"], r["text"]))
+    for conv, turns in by_conv.items():
+        texts = [t.encode() for _, t in sorted(turns)]
+        th, tc = K.fingerprints(texts, ndim=16)
+        h = np.full(16, K.MAX_HASH_U32, dtype=np.uint32)
+        c = np.zeros(16, dtype=np.uint32)
+        for i in range(len(texts)):
+            h, c = K.merge_count_min_sketches(h, c, th[i], tc[i])
+        gh, gc, gn = got[conv]
+        assert gn == len(texts)
+        assert gh == [int(x) for x in h], conv
+        assert gc == [int(x) for x in c], conv
