@@ -183,6 +183,12 @@ def main() -> None:
     spark = build_session(
         master=f"local[{CPUS}]", shuffle_partitions=CPUS, app_name="bench"
     )
+    # warm the JVM/codegen/parquet-footer paths so the FIRST headline
+    # query doesn't absorb session warmup (measured ~3s on q1 otherwise)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).collect()
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(1).collect()
+
     query_secs: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
