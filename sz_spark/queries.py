@@ -320,9 +320,15 @@ SELECT doc_id, text FROM documents ORDER BY text ASC, doc_id ASC LIMIT 50
 
 
 def str_case_fold_sort(spark, sf):
+    """uncased ORDER (utf8_uncased_order analog): top-100 by full
+    casefold, not lower() — fold == lower on this ASCII column so
+    DuckDB's lower() stays an exact oracle, while the fold-vs-lower
+    divergent chars are pinned by test_casefold_conformance."""
+    from sz_spark.udfs import utf8_casefold_udf
+
     p = _t(spark, sf, "part")
     return (
-        p.select("p_partkey", F.lower("p_name").alias("folded"))
+        p.select("p_partkey", utf8_casefold_udf(F.col("p_name")).alias("folded"))
         .orderBy(F.asc("folded"), F.asc("p_partkey"))
         .limit(100)
     )
