@@ -516,6 +516,35 @@ WHERE ('0x' || substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 
 """
 
 
+def str_utf8_graphemes(spark, sf):
+    """utf8_graphemes analog (utf8_graphemes.h TR29 clusters): grapheme
+    counting via Java regex \\X (Spark-native, whole-stage codegen) over
+    synthesized decomposed text.  Oracle trick: the synthesized
+    combining sequences (vowel + acute/grave/circumflex) all COMPOSE
+    under NFC, so grapheme count == codepoint count of the NFC form —
+    which DuckDB computes independently via nfc_normalize.  (Sequences
+    that don't compose, e.g. b + U+0302, are exactly where this oracle
+    would break — pinned Spark-side in test_graphemes_vs_codepoints.)"""
+    d = _t(spark, sf, "documents")
+    u = F.concat(
+        F.substring("text", 1, 20),
+        F.lit(" éàô"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(u, F.lit(r"\X")).alias("n_graphemes"),
+        F.length(u).alias("n_codepoints"),
+    )
+
+
+STR_GRAPHEMES_SQL = """
+SELECT doc_id,
+       length(nfc_normalize(substr(text, 1, 20) || ' e' || chr(769) || 'a' || chr(768) || 'o' || chr(770))) AS n_graphemes,
+       length(substr(text, 1, 20) || ' e' || chr(769) || 'a' || chr(768) || 'o' || chr(770)) AS n_codepoints
+FROM documents
+"""
+
+
 def str_utf8_wordbreaks(spark, sf):
     """utf8_wordbreaks (UAX-29 core-rules subset, utf8_wordbreaks.h):
     the cross-engine row checks the tiling invariant on letters+spaces
@@ -1455,6 +1484,7 @@ REGISTRY: dict[str, tuple] = {
     "str_utf8_whitespaces": (str_utf8_whitespaces, STR_UTF8_WS_SQL),
     "q_sample_hash": (q_sample_hash, Q_SAMPLE_HASH_SQL),
     "str_utf8_wordbreaks": (str_utf8_wordbreaks, STR_WORDBREAKS_SQL),
+    "str_utf8_graphemes": (str_utf8_graphemes, STR_GRAPHEMES_SQL),
     "szs_hash_multiseed": (szs_hash_multiseed, SZS_MULTISEED_SQL),
     # ER pipeline
     "tr_transcripts": (tr_transcripts, transcripts_sql()),

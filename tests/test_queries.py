@@ -216,3 +216,24 @@ def test_wordbreaks_uax29_core():
     # tiling invariant: segments concatenate back to the input
     for t in ("don't, stop_now 1,234...", "  spaced  out  "):
         assert "".join(wb(t)) == t
+
+
+def test_graphemes_vs_codepoints(spark):
+    """Java \\X grapheme clusters: composing AND non-composing combining
+    sequences count as single graphemes (the NFC oracle only covers the
+    composing ones — this pins the rest)."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("abc", 3),
+        ("éàô", 3),  # composable
+        ("b̂q́", 2),  # NOT NFC-composable, still 2 graphemes
+        ("x́̂", 1),  # stacked marks, one cluster
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = {
+        r.s: r.g
+        for r in df.select("s", F.regexp_count("s", F.lit(r"\X")).alias("g")).collect()
+    }
+    for s, expected in cases:
+        assert got[s] == expected, (s, got[s])
