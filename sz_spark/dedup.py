@@ -53,7 +53,11 @@ def ngram_jaccard_pairs(
         "doc_id", F.explode(F.array_distinct(word_shingles(text_col, n))).alias("sh")
     )
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
-    sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "sh").drop("f")
+    # the filtered shingle table feeds THREE consumers (sizes + both join
+    # sides); without an explicit cache Spark re-explodes and re-joins
+    # the corpus per consumer (measured 3x the wall at sf0.1 — the
+    # alias/filter differences defeat ReuseExchange)
+    sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "sh").drop("f").cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -893,6 +893,8 @@ def er_minhash_bands(spark, sf):
 
 
 def _md5_band_pairs(docs: DataFrame) -> DataFrame:
+    # cached: the long band table is both sides of the self-join, and
+    # recomputing it means re-min-hashing every shingle twice
     bands = blocking.shingle_minhash_bands(docs)
     long = bands.select(
         "conv_id",
@@ -904,7 +906,7 @@ def _md5_band_pairs(docs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("conv_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh"))
+    ).select("conv_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh")).cache()
     a, b = long.alias("a"), long.alias("b")
     return (
         a.join(b, ["band_id", "bh"])
@@ -1326,7 +1328,7 @@ def dedup_minhash_lsh(spark, sf):
                 ]
             )
         ).alias("b"),
-    ).select("conv_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh"))
+    ).select("conv_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh")).cache()
     a, b = long.alias("a"), long.alias("b")
     return (
         a.join(b, ["band_id", "bh"])
