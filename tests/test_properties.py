@@ -111,3 +111,15 @@ def test_splitmix64_python_int_parity(x):
         return z ^ (z >> 31)
 
     assert int(K.splitmix64(np.uint64(x))) == ref(x)
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_wordbreaks_tiling_property(t):
+    """UAX-29 segmentation is a TILING for arbitrary unicode input:
+    segments are non-empty and concatenate back to the input."""
+    from sz_spark.udfs import wordbreak_segments
+
+    segs = wordbreak_segments(t)
+    assert "".join(segs) == t
+    assert all(segs)
