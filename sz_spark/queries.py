@@ -516,6 +516,83 @@ WHERE ('0x' || substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 
 """
 
 
+def q_shuffled(spark, sf):
+    """Strs.shuffled(seed) analog (stringzilla.c:7544): a DETERMINISTIC
+    seeded permutation — order by a seeded PRF of the id.  Unlike RNG
+    shuffles this is reproducible across engines/executors/retries, so
+    the permutation itself is value-checked (first 50 in permuted
+    order, with the PRF rank exported to pin positions)."""
+    d = _t(spark, sf, "documents")
+    rank = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shuf42|"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select("doc_id", rank.alias("shuffle_rank"))
+        .orderBy("shuffle_rank")
+        .limit(50)
+    )
+
+
+Q_SHUFFLED_SQL = """
+SELECT doc_id,
+       ('0x' || substr(md5('shuf42|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS shuffle_rank
+FROM documents
+ORDER BY shuffle_rank
+LIMIT 50
+"""
+
+
+def str_fill_random(spark, sf):
+    """sz.fill_random analog (stringzilla.c fill_random; bench
+    README.md:188-215 generates alphabet-mapped strings): deterministic
+    PRF-driven generation over the 'acgt' alphabet — 20 chars per doc,
+    char i = alphabet[md5(doc_id|i) % 4].  All native expressions; the
+    oracle regenerates the identical strings."""
+    d = _t(spark, sf, "documents")
+    alpha = F.array(F.lit("a"), F.lit("c"), F.lit("g"), F.lit("t"))
+    gen = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda i: F.element_at(
+                alpha,
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("doc_id").cast("string"),
+                                    F.lit("|"),
+                                    i.cast("string"),
+                                )
+                            ),
+                            1,
+                            4,
+                        ),
+                        16,
+                        10,
+                    ).cast("int")
+                    % 4
+                    + 1
+                ),
+            ),
+        ),
+        "",
+    )
+    return d.select("doc_id", gen.alias("random_str"))
+
+
+STR_FILL_RANDOM_SQL = """
+SELECT doc_id,
+       array_to_string(list_transform(range(1, 21),
+         i -> substr('acgt',
+              ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || i), 1, 4))::BIGINT % 4) + 1)::INT,
+              1)), '') AS random_str
+FROM documents
+"""
+
+
 def str_utf8_graphemes(spark, sf):
     """utf8_graphemes analog (utf8_graphemes.h TR29 clusters): grapheme
     counting via Java regex \\X (Spark-native, whole-stage codegen) over
@@ -1487,6 +1564,8 @@ REGISTRY: dict[str, tuple] = {
     "q_sample_hash": (q_sample_hash, Q_SAMPLE_HASH_SQL),
     "str_utf8_wordbreaks": (str_utf8_wordbreaks, STR_WORDBREAKS_SQL),
     "str_utf8_graphemes": (str_utf8_graphemes, STR_GRAPHEMES_SQL),
+    "q_shuffled": (q_shuffled, Q_SHUFFLED_SQL),
+    "str_fill_random": (str_fill_random, STR_FILL_RANDOM_SQL),
     "szs_hash_multiseed": (szs_hash_multiseed, SZS_MULTISEED_SQL),
     # ER pipeline
     "tr_transcripts": (tr_transcripts, transcripts_sql()),
