@@ -622,6 +622,68 @@ FROM documents
 """
 
 
+def str_utf8_sentences(spark, sf):
+    """utf8_sentences (UAX-29 sentence rules, core subset — see
+    udfs.sentence_segments) over synthesized uppercase-starting
+    sentences, where the rules reduce to terminator+space splits that
+    DuckDB reproduces; the SB8 lowercase-continuation rule is pinned in
+    test_sentences_core."""
+    from sz_spark.udfs import utf8_sentences_udf
+
+    d = _t(spark, sf, "documents")
+    u = F.concat(
+        F.lit("Alpha beta. Gamma delta! Epsilon? "),
+        F.upper(F.substring("text", 1, 1)),
+        F.substring("text", 2, 30),
+        F.lit("."),
+    )
+    segs = utf8_sentences_udf(u)
+    return d.select(
+        "doc_id",
+        F.size(segs).alias("n_sentences"),
+        F.try_element_at(segs, F.lit(1)).alias("first_sentence"),
+    )
+
+
+STR_SENTENCES_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'Alpha beta. Gamma delta! Epsilon? ' || upper(substr(text, 1, 1)) || substr(text, 2, 30) || '.' AS s
+  FROM documents
+)
+SELECT doc_id,
+       len(string_split_regex(rtrim(s, ' '), '(\\.|!|\\?)( )+')) AS n_sentences,
+       string_split_regex(s, '(?:\\.|!|\\?)( )+')[1] || '. ' AS first_sentence
+FROM u
+"""
+
+
+def str_utf8_linebreaks(spark, sf):
+    """utf8_linebreaks analog (UAX-14 break OPPORTUNITIES, core
+    subset): positions where a line may break — after space runs,
+    after hyphens, mandatorily at newlines.  Native regex count on a
+    synthesized column, identical class in both engines."""
+    d = _t(spark, sf, "documents")
+    u = F.concat(
+        F.substring("text", 1, 60), F.lit(" pre-wrap hy-phen\nnext line")
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(u, F.lit("[ \\t]+|-|\\n")).alias("n_break_opps"),
+        F.regexp_count(u, F.lit("\\n")).alias("n_mandatory"),
+    )
+
+
+STR_LINEBREAKS_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(substr(text, 1, 60) || ' pre-wrap hy-phen' || chr(10) || 'next line',
+           '[ \\t]+|-|\\n')) AS n_break_opps,
+       len(regexp_extract_all(substr(text, 1, 60) || ' pre-wrap hy-phen' || chr(10) || 'next line',
+           '\\n')) AS n_mandatory
+FROM documents
+"""
+
+
 def str_utf8_wordbreaks(spark, sf):
     """utf8_wordbreaks (UAX-29 core-rules subset, utf8_wordbreaks.h):
     the cross-engine row checks the tiling invariant on letters+spaces
@@ -1563,6 +1625,8 @@ REGISTRY: dict[str, tuple] = {
     "str_utf8_whitespaces": (str_utf8_whitespaces, STR_UTF8_WS_SQL),
     "q_sample_hash": (q_sample_hash, Q_SAMPLE_HASH_SQL),
     "str_utf8_wordbreaks": (str_utf8_wordbreaks, STR_WORDBREAKS_SQL),
+    "str_utf8_sentences": (str_utf8_sentences, STR_SENTENCES_SQL),
+    "str_utf8_linebreaks": (str_utf8_linebreaks, STR_LINEBREAKS_SQL),
     "str_utf8_graphemes": (str_utf8_graphemes, STR_GRAPHEMES_SQL),
     "q_shuffled": (q_shuffled, Q_SHUFFLED_SQL),
     "str_fill_random": (str_fill_random, STR_FILL_RANDOM_SQL),

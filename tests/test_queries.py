@@ -237,3 +237,19 @@ def test_graphemes_vs_codepoints(spark):
     }
     for s, expected in cases:
         assert got[s] == expected, (s, got[s])
+
+
+def test_sentences_core():
+    """UAX-29 sentence core rules (udfs.sentence_segments): SB8
+    lowercase continuation, closer attachment, tiling invariant."""
+    from sz_spark.udfs import sentence_segments as sb
+
+    assert sb("One. Two! Three? Four.") == ["One. ", "Two! ", "Three? ", "Four."]
+    # SB8: lowercase after terminator+space continues the sentence
+    assert sb("See e.g. this one. Next.") == ["See e.g. this one. ", "Next."]
+    # closers attach to the terminator
+    assert sb('He said "stop." Then left.') == ['He said "stop." ', "Then left."]
+    # digits start a new sentence (not lowercase)
+    assert sb("Pi is 3. 14 is not.") == ["Pi is 3. ", "14 is not."]
+    for t in ("", "no terminator at all", "Tail space. "):
+        assert "".join(sb(t)) == t
