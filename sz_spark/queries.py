@@ -786,6 +786,52 @@ FROM documents
 """
 
 
+def str_find_denormalized(spark, sf):
+    """utf8_find_denormalized (python/stringzilla.c:3986-4155): detect
+    text that is not NFC-normal and report the first denormalized
+    position.  Every other doc gets a combining-mark injection so both
+    outcomes are exercised; position = length of the common prefix of
+    the raw and NFC forms + 1 (0 when already normal)."""
+    norm = __import__("sz_spark.udfs", fromlist=["make_utf8_norm_udf"]).make_utf8_norm_udf("NFC")
+    d = _t(spark, sf, "documents")
+    u = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.substring("text", 1, 8), F.lit("e\u0301"), F.substring("text", 9, 12)
+        ),
+    ).otherwise(F.substring("text", 1, 20))
+    d2 = d.select("doc_id", u.alias("_u")).withColumn("_n", norm(F.col("_u")))
+    # first codepoint where raw and NFC diverge (0 = already normal):
+    # array_position of the first prefix mismatch; substr beyond either
+    # end yields '' so a pure length difference also registers
+    pos = F.expr(
+        "array_position(transform(sequence(1, greatest(length(_u), length(_n))), "
+        "i -> substr(_u, i, 1) != substr(_n, i, 1)), true)"
+    )
+    return d2.select(
+        "doc_id",
+        (F.col("_u") != F.col("_n")).alias("is_denormalized"),
+        pos.cast("long").alias("first_denorm_pos"),
+    )
+
+
+STR_FIND_DENORM_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN substr(text, 1, 8) || 'e' || chr(769) || substr(text, 9, 12)
+              ELSE substr(text, 1, 20) END AS raw
+  FROM documents
+),
+n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nrm FROM u)
+SELECT doc_id,
+       raw != nrm AS is_denormalized,
+       COALESCE(list_position(list_transform(range(1, greatest(length(raw), length(nrm)) + 1),
+                i -> substr(raw, i::INT, 1) != substr(nrm, i::INT, 1)), true), 0)::BIGINT AS first_denorm_pos
+FROM n
+"""
+
+
 # --- small §2 gaps: hmac, overlapping count, rpartition/endswith,
 #     256-byte-LUT translate, splitlines, delimiter splits, sampling
 
@@ -1614,6 +1660,7 @@ REGISTRY: dict[str, tuple] = {
     "str_utf8_casefold": (str_utf8_casefold, STR_CASEFOLD_UDF_SQL),
     "str_uncased_search": (str_uncased_search, STR_UNCASED_SEARCH_SQL),
     "str_utf8_norm": (str_utf8_norm, STR_UTF8_NORM_SQL),
+    "str_find_denormalized": (str_find_denormalized, STR_FIND_DENORM_SQL),
     "str_hmac_sha256": (str_hmac_sha256, str_hmac_sha256_sql()),
     "str_count_overlapping": (str_count_overlapping, STR_COUNT_OVERLAP_SQL),
     "str_rpartition_endswith": (str_rpartition_endswith, STR_RPARTITION_SQL),
