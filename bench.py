@@ -55,7 +55,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "str_split_explode_tokens",
-    "str_sha256",
+    "str_hash_ops",
+    # the reference's loudest README claims are case-fold 1.3 GB/s and
+    # 10-70x-ICU segmentation (README.md:60-95) — measure the graft's
+    # UTF-8 surface so those rows have a recorded number to defend
+    "str_utf8_ops",
+    "str_segmentation_ops",
     "szs_fingerprints",
     "szs_levenshtein",
     "dedup_minhash_lsh",
@@ -196,6 +201,10 @@ def main() -> None:
         n = fn(spark, SF_DIR).count()
         query_secs[name] = round(time.time() - t0, 2)
         log(f"[bench] {name}: {query_secs[name]}s ({n} rows)")
+        # queries cache multiply-consumed intermediates (band/shingle
+        # tables); drop them so storage memory doesn't accumulate across
+        # the sequential headline run (ADVICE r2)
+        spark.catalog.clearCache()
     spark.stop()
 
     # ---- scaling probe ---------------------------------------------------
@@ -207,39 +216,43 @@ def main() -> None:
         time.sleep(45)  # let the box cool after the headline queries
         ceiling = machine_scaling_ceiling(LOW, HIGH)
         log(f"[bench] machine ALU ceiling: {ceiling}")
-        # Wall-clock noise on this box is asymmetric: the long low-core
-        # run repeats within ±6%, the short high-core run within ±25%
-        # (thermal/GC).  Best-of-2 on the high run only — interleaved
-        # around the low run so both see similar machine state.
-        time.sleep(5)
-        high_1 = run_pipeline_at(HIGH, SF_DIR, SCALE_K)
-        log(f"[bench] scaling high (1/2): {high_1}")
-        time.sleep(5)
-        low = run_pipeline_at(LOW, SF_DIR, SCALE_K)
-        log(f"[bench] scaling low: {low}")
-        time.sleep(5)
-        high_2 = run_pipeline_at(HIGH, SF_DIR, SCALE_K)
-        log(f"[bench] scaling high (2/2): {high_2}")
-        highs = [high_1, high_2]
-        # this box's short high-core runs vary up to ±50% under noisy-
-        # neighbor load (observed 77s..178s for the same job); when the
-        # two runs disagree materially, buy one more sample
-        if abs(high_1["wall_sec"] - high_2["wall_sec"]) > 0.15 * min(
-            high_1["wall_sec"], high_2["wall_sec"]
-        ):
-            time.sleep(10)
-            high_3 = run_pipeline_at(HIGH, SF_DIR, SCALE_K)
-            log(f"[bench] scaling high (3/3, tie-break): {high_3}")
-            highs.append(high_3)
-        high = min(highs, key=lambda r: r["wall_sec"])
+        # This box's short high-core runs vary up to ±50% under noisy-
+        # neighbor load (observed 77s..178s for the same job; driver r2
+        # recorded 212s against a same-session 86s in-repo run).  Probe
+        # policy (VERDICT r2): ALWAYS median-of-3 on the high side, the
+        # three highs interleaved around the low runs so every probe
+        # sees similar machine state, and the headline efficiency is
+        # ALSO normalized by the same-run ALU ceiling — the number that
+        # separates "the job doesn't scale" from "the box was busy".
+        highs, lows = [], []
+        for i, cores in enumerate((HIGH, LOW, HIGH, LOW, HIGH)):
+            time.sleep(5)
+            r = run_pipeline_at(cores, SF_DIR, SCALE_K)
+            log(f"[bench] scaling probe {i + 1}/5 local[{cores}]: {r}")
+            (highs if cores == HIGH else lows).append(r)
+        high = sorted(highs, key=lambda r: r["wall_sec"])[1]  # median of 3
+        low = min(lows, key=lambda r: r["wall_sec"])  # low side repeats ±6%
         speedup = high["turns_per_sec"] / low["turns_per_sec"]
         eff = speedup / (HIGH / LOW)
+        eff_vs_machine = (
+            eff / ceiling["ceiling_efficiency"]
+            if ceiling["ceiling_efficiency"] > 0
+            else None
+        )
         extras = {
             "scaling_low": low,
             "scaling_high": high,
             "scaling_high_runs": [h["wall_sec"] for h in highs],
+            "scaling_low_runs": [l["wall_sec"] for l in lows],
             "speedup": round(speedup, 3),
             "scaling_efficiency": round(eff, 3),
+            # job efficiency relative to what a pure-ALU embarrassingly-
+            # parallel workload achieves on the same machine in the same
+            # session — the cluster-transferable number (a real 2-node vs
+            # 8-node cluster has ceiling 1.0; this shared box does not)
+            "scaling_efficiency_vs_machine": (
+                round(eff_vs_machine, 3) if eff_vs_machine else None
+            ),
             "machine_ceiling": ceiling,
         }
         value = high["turns_per_sec"]

@@ -70,6 +70,13 @@ def main() -> int:
         )
 
     names = list(REGISTRY)
+    if len(names) > 50:
+        print(
+            f"FATAL: registry has {len(names)} entries but the driver "
+            "checks only the first 50 — merge or drop queries (round-2 "
+            "finding: everything past the cap is silently unverified)."
+        )
+        return 1
     if args.only:
         only = set(args.only.split(","))
         names = [n for n in names if n in only]
