@@ -84,6 +84,9 @@ def main() -> int:
     results = {}
     for name in names:
         fn, sql = REGISTRY[name]
+        # queries persist multiply-consumed intermediates; drop them so
+        # storage doesn't accumulate across the sequential run
+        spark.catalog.clearCache()
         t0 = time.time()
         rec = {}
         try:

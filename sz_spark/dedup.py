@@ -49,15 +49,27 @@ def ngram_jaccard_pairs(
     generates f^2 join rows — the frequency cap is the shuffle-skew
     guard at corpus scale).
     """
+    from pyspark import StorageLevel
+
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(word_shingles(text_col, n))).alias("sh")
     )
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
-    # the filtered shingle table feeds THREE consumers (sizes + both join
-    # sides); without an explicit cache Spark re-explodes and re-joins
+    # The filtered shingle table feeds THREE consumers (sizes + both join
+    # sides); without an explicit persist Spark re-explodes and re-joins
     # the corpus per consumer (measured 3x the wall at sf0.1 — the
-    # alias/filter differences defeat ReuseExchange)
-    sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "sh").drop("f").cache()
+    # alias/filter differences defeat ReuseExchange).  DISK_ONLY, not
+    # MEMORY: the table is O(total tokens) — ~n x corpus bytes — which at
+    # 100 TB input is a multi-hundred-TB dataset that must spill to
+    # executor-local disk (or be checkpointed to storage and re-read),
+    # never pinned in storage memory.  Spill budget: ~n x input bytes /
+    # executor count of local disk; at BENCH_SCALE_K=16 / sf0.1 the
+    # persisted table is ~60 MB — trivially disk-resident.
+    sh = (
+        sh.join(freq.filter(F.col("f") <= max_shingle_freq), "sh")
+        .drop("f")
+        .persist(StorageLevel.DISK_ONLY)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -256,8 +268,17 @@ def simhash_near_pairs(
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
-def simhash_near_pairs_sql(max_hamming: int = 3, n_blocks: int = 6) -> str:
-    """DuckDB twin of simhash_docs + simhash_near_pairs (no bucket cap)."""
+def simhash_pairs_sql_body(
+    max_hamming: int = 3, n_blocks: int = 6, max_bucket_size: int = 0
+) -> str:
+    """CTE chain + final SELECT implementing the block-combination LSH
+    join over an existing ``sigs(doc_id, simhash)`` relation — shared by
+    the documents-table twin below and the skewed-fixture parity pytest.
+
+    ``max_bucket_size > 0`` applies the SAME stop-key cap the Spark path
+    has (windowed per-(t, key) count filter) — without it the within-key
+    self-join is O(s^2) on a degenerate corpus and cap parity between
+    the engines breaks the moment the Spark cap fires (VERDICT r2)."""
     keep = n_blocks - max_hamming
     width = SIMHASH_BITS // n_blocks
     mask = (1 << width) - 1
@@ -272,16 +293,34 @@ def simhash_near_pairs_sql(max_hamming: int = 3, n_blocks: int = 6) -> str:
             f"SELECT doc_id, simhash, {t} AS t, CAST({parts} AS BIGINT) AS key FROM sigs"
         )
     keys_union = "\nUNION ALL\n".join(key_rows)
-    return f"""
-WITH {simhash_sql_cte()},
-keys AS (
+    cap_cte = ""
+    join_src = "keys"
+    if max_bucket_size > 0:
+        cap_cte = f""",
+capped AS (
+  SELECT doc_id, simhash, t, key FROM (
+    SELECT k.*, count(*) OVER (PARTITION BY t, key) AS _bs FROM keys k
+  ) WHERE _bs <= {max_bucket_size}
+)"""
+        join_src = "capped"
+    return f"""keys AS (
 {keys_union}
-)
+){cap_cte}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM keys a JOIN keys b USING (t, key)
+FROM {join_src} a JOIN {join_src} b USING (t, key)
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def simhash_near_pairs_sql(
+    max_hamming: int = 3, n_blocks: int = 6, max_bucket_size: int = 0
+) -> str:
+    """DuckDB twin of simhash_docs + simhash_near_pairs, cap included."""
+    return f"""
+WITH {simhash_sql_cte()},
+{simhash_pairs_sql_body(max_hamming, n_blocks, max_bucket_size)}
 """
 
 

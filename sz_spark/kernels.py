@@ -153,6 +153,10 @@ def fingerprints(
     bits of the minimum state, the count is the number of windows
     attaining the minimum; texts shorter than ``w[d]`` export
     ``(0xFFFFFFFF, 0)``.
+
+    With ``with_counts=False`` the count bookkeeping is skipped and the
+    returned counts array is ALL ZEROS (never stale partial data) —
+    hashes are identical either way.
     """
     params = fingerprint_params(ndim, widths, seed)
     n = len(texts)
@@ -325,7 +329,11 @@ def _fingerprint_padded_batch(
         minv.astype(np.uint64) & _U64(MAX_HASH_U32),
         np.uint64(MAX_HASH_U32),
     ).astype(np.uint32)
-    counts[:, perm] = np.where(set_mask, count, np.float32(0.0)).astype(np.uint32)
+    if with_counts:
+        counts[:, perm] = np.where(set_mask, count, np.float32(0.0)).astype(np.uint32)
+    # else: counts stay all-zero — the boundary phase wrote stale 1s into
+    # `count` that are NOT real count-of-min data (ADVICE r2); zeros make
+    # the "counts not computed" contract unmistakable to callers
     return hashes, counts
 
 

