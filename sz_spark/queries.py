@@ -531,7 +531,8 @@ def str_segmentation_ops(spark, sf):
     )
     clean = F.regexp_replace(F.substring("text", 1, 80), "[^a-z ]", "")
     segs = utf8_sentences_udf(u_s)
-    words = F.filter(utf8_wordbreaks_udf(clean), lambda s: s != " ")
+    # drop separator segments (space RUNS since WB3d landed, not just " ")
+    words = F.filter(utf8_wordbreaks_udf(clean), lambda s: F.trim(s) != "")
     ws_runs = F.regexp_extract_all(u_lb, F.lit("[ \\t]+"), 0)
     delim_runs = F.regexp_extract_all(u_lb, F.lit("[ \\t,;:!?()-]+"), 0)
     return d.select(

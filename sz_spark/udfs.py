@@ -194,79 +194,7 @@ def make_utf8_norm_udf(form: str = "NFC"):
     return norm
 
 
-def _wb_class(ch: str) -> str:
-    """Word_Break class approximation from unicodedata general
-    categories — covers UAX-29 core rules WB5-WB13b (letter/number
-    chaining, MidLetter apostrophes, MidNum in digit runs,
-    ExtendNumLet underscores, Extend/Format attachment).  NOT the full
-    property table (no Katakana/Hebrew-specific rules, no regional
-    indicators) — documented as a core-rules subset in COVERAGE.md."""
-    import unicodedata
-
-    if ch in ("'", "’"):
-        return "ML"  # MidLetter
-    if ch in (",", ".", ";", ":"):
-        return "MN"  # MidNum (approximation: also MidNumLet '.')
-    if ch == "_":
-        return "EX"  # ExtendNumLet
-    cat = unicodedata.category(ch)
-    if cat.startswith("L"):
-        return "AL"
-    if cat.startswith("N"):
-        return "NU"
-    if cat in ("Mn", "Mc", "Cf"):
-        return "Extend"
-    return "XX"
-
-
-def wordbreak_segments(text: str) -> list[str]:
-    """UAX-29 word segmentation, core-rules subset: returns the full
-    TILING (words AND separators), like the reference's
-    utf8_wordbreaks (utf8_wordbreaks.h:1-208)."""
-    if not text:
-        return []
-    chars = list(text)
-    cls = [_wb_class(c) for c in chars]
-    joins = {("AL", "AL"), ("NU", "NU"), ("AL", "NU"), ("NU", "AL")}
-    out, start = [], 0
-    for i in range(1, len(chars)):
-        a, b = cls[i - 1], cls[i]
-        if chars[i - 1] == "\r" and chars[i] == "\n":
-            no_break = True  # WB3: CRLF is one segment
-        elif b == "Extend":
-            no_break = True  # WB4: extend/format attach
-        elif a == "Extend":
-            # look back past extends for the effective left class
-            j = i - 2
-            while j >= start and cls[j] == "Extend":
-                j -= 1
-            a_eff = cls[j] if j >= start else "XX"
-            no_break = (a_eff, b) in joins or (
-                b == "EX" and a_eff in ("AL", "NU", "EX")
-            ) or (a_eff == "EX" and b in ("AL", "NU"))
-        elif (a, b) in joins:
-            no_break = True  # WB5/8/9/10
-        elif b == "EX" and a in ("AL", "NU", "EX"):
-            no_break = True  # WB13a
-        elif a == "EX" and b in ("AL", "NU"):
-            no_break = True  # WB13b
-        elif a == "ML" and b == "AL":
-            # WB7: letter ' letter — valid only if char before ' is AL
-            no_break = i >= 2 and cls[i - 2] == "AL"
-        elif a == "AL" and b == "ML":
-            # WB6: break unless a letter follows the MidLetter
-            no_break = i + 1 < len(chars) and cls[i + 1] == "AL"
-        elif a == "MN" and b == "NU":
-            no_break = i >= 2 and cls[i - 2] == "NU"  # WB11
-        elif a == "NU" and b == "MN":
-            no_break = i + 1 < len(chars) and cls[i + 1] == "NU"  # WB12
-        else:
-            no_break = False
-        if not no_break:
-            out.append(text[start:i])
-            start = i
-    out.append(text[start:])
-    return out
+from sz_spark.uax29 import wordbreak_segments  # full UAX-29 WB1-WB16
 
 
 def sentence_segments(text: str) -> list[str]:
