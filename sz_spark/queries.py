@@ -1360,33 +1360,36 @@ def text_doc_fingerprint(spark, sf):
 
 
 def mm_decode_metadata(spark, sf):
-    """Binary-payload decode roundtrip, now ORACLE-CHECKED: the payload
-    is synthesized deterministically from documents, so every decoded
-    field (width, height, n_bytes, body byte-mean) is SQL-derivable and
-    DuckDB recomputes them from the raw text.  mean is exported as
-    floor(mean * 1e6) — both engines divide the same integers in IEEE
-    double and floor it, so the value is bit-identical (round() would
-    tie-break differently on exact k/2^m means)."""
+    """REAL-container decode round-trip (multimodal.py): even docs get a
+    spec-compliant grayscale PNG (zlib IDAT, CRC-verified chunks), odd
+    docs a canonical RIFF/WAVE PCM file; content is pure doc_id math, so
+    DuckDB recomputes every decoded field — dimensions, sample rate and
+    count, and the content mean — analytically, without any codec.  A
+    hash mismatch means the encoder or the chunk-walking decoder broke.
+    mean is exported as floor(mean * 1e6): both engines divide the same
+    exact integers in IEEE double (round() would tie-break differently
+    on exact k/2^m means)."""
     d = _t(spark, sf, "documents")
     payloads = multimodal.synthesize_binary_column(d)
-    dec = multimodal.decode_metadata(payloads.select("doc_id", "payload"))
-    return dec.select(
-        "doc_id",
-        "width",
-        "height",
-        "n_bytes",
-        F.floor(F.col("mean_byte") * 1e6).cast("long").alias("mean_byte_e6"),
-        "ok",
-    )
+    return multimodal.decode_metadata(payloads)
 
 
 MM_DECODE_SQL = """
 SELECT doc_id,
-       CAST(length(text) % 256 + 16 AS INT) AS width,
-       CAST(doc_id % 64 + 16 AS INT) AS height,
-       CAST(14 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(floor(CAST(list_aggregate(list_transform(regexp_extract_all(text, '.'), x -> ord(x)), 'sum') AS DOUBLE)
-                  / octet_length(encode(text)) * 1000000.0) AS BIGINT) AS mean_byte_e6,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 24 + 8 AS INT) ELSE 0 END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 16 + 8 AS INT) ELSE 0 END AS height,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 4) * 4000 AS INT) ELSE 0 END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 500 + 100 AS INT) ELSE 0 END AS n_samples,
+       CAST(floor(
+         CASE WHEN doc_id % 2 = 0
+              THEN CAST(list_aggregate(list_transform(range(0, (doc_id % 24 + 8) * (doc_id % 16 + 8)),
+                        i -> (doc_id * 7 + i * 13) % 256), 'sum') AS DOUBLE)
+                   / ((doc_id % 24 + 8) * (doc_id % 16 + 8))
+              ELSE CAST(list_aggregate(list_transform(range(0, doc_id % 500 + 100),
+                        i -> (doc_id * 11 + i * 3) % 256), 'sum') AS DOUBLE)
+                   / (doc_id % 500 + 100)
+         END * 1000000.0) AS BIGINT) AS mean_e6,
        TRUE AS ok
 FROM documents
 """
