@@ -1241,3 +1241,102 @@ def hash_bytes_u64(data: bytes, seed: int = 0) -> int:
         h ^= byte
         h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return int(splitmix64(np.uint64(h)))
+
+
+class Hasher:
+    """hashlib-shaped incremental surface for the library's seeded
+    64-bit PRF — the reference's ``sz.Hasher`` / ``sz_hash_state_*``
+    API (hash.h:259-276; python test surface test/hash.py:51-80:
+    ``update`` chains, ``digest`` is an int, ``hexdigest`` is the
+    016x rendering, ``reset`` reuses the object).  Streaming equals
+    one-shot :func:`hash_bytes_u64` BY CONSTRUCTION: the FNV fold is
+    byte-sequential state, and the splitmix64 finalizer runs at digest
+    time without disturbing it, so ``digest()`` is repeatable and
+    ``update`` can continue afterwards."""
+
+    _MASK = 0xFFFFFFFFFFFFFFFF
+    _PRIME = 0x100000001B3
+
+    def __init__(self, seed: int = 0):
+        self._seed = seed
+        self.reset()
+
+    def reset(self) -> "Hasher":
+        self._h = 0xCBF29CE484222325 ^ (self._seed & self._MASK)
+        return self
+
+    def update(self, chunk: bytes) -> "Hasher":
+        h = self._h
+        for byte in chunk:
+            h = ((h ^ byte) * self._PRIME) & self._MASK
+        self._h = h
+        return self
+
+    def copy(self) -> "Hasher":
+        c = Hasher(self._seed)
+        c._h = self._h
+        return c
+
+    def digest(self) -> int:
+        return int(splitmix64(np.uint64(self._h)))
+
+    def hexdigest(self) -> str:
+        return format(self.digest(), "016x")
+
+
+class Sha256:
+    """Incremental SHA-256 (reference ``sz.Sha256`` /
+    ``sz_sha256_state_*``, hash.h:277-300) — hashlib-backed (byte-exact
+    SHA-256 is SHA-256), exposed for API parity: update/digest/
+    hexdigest/copy/reset."""
+
+    def __init__(self):
+        import hashlib
+
+        self._factory = hashlib.sha256
+        self._state = self._factory()
+
+    def reset(self) -> "Sha256":
+        self._state = self._factory()
+        return self
+
+    def update(self, chunk: bytes) -> "Sha256":
+        self._state.update(chunk)
+        return self
+
+    def copy(self) -> "Sha256":
+        c = Sha256.__new__(Sha256)
+        c._factory = self._factory
+        c._state = self._state.copy()
+        return c
+
+    def digest(self) -> bytes:
+        return self._state.digest()
+
+    def hexdigest(self) -> str:
+        return self._state.hexdigest()
+
+
+class HmacSha256:
+    """Incremental RFC-2104 HMAC-SHA256 (reference hmac_sha256 surface,
+    hash.h:283-300) built on :class:`Sha256`: the inner hash streams
+    through ``update`` chunks; ``digest`` folds the outer pass.
+    Streaming == one-shot ``hmac.new(key, msg, sha256)`` for any chunk
+    split (pytest test_hasher_incremental)."""
+
+    def __init__(self, key: bytes):
+        if len(key) > 64:
+            key = Sha256().update(key).digest()
+        k = key.ljust(64, b"\x00")
+        self._opad = bytes(b ^ 0x5C for b in k)
+        self._inner = Sha256().update(bytes(b ^ 0x36 for b in k))
+
+    def update(self, chunk: bytes) -> "HmacSha256":
+        self._inner.update(chunk)
+        return self
+
+    def digest(self) -> bytes:
+        return Sha256().update(self._opad + self._inner.copy().digest()).digest()
+
+    def hexdigest(self) -> str:
+        return self.digest().hex()

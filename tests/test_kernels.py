@@ -370,3 +370,60 @@ def test_simhash_batch_equals_scalar_hash():
     toks = [b"", b"a", b"hello world", b"\xff\x00\x10" * 5]
     got = K.fnv1a_splitmix_batch(toks)
     assert all(int(x) == K.hash_bytes_u64(t) for x, t in zip(got, toks))
+
+
+def test_hasher_incremental_vs_one_shot():
+    """sz.Hasher parity (reference test/hash.py:51-80): streaming over
+    any chunk split equals the one-shot hash; digest is repeatable and
+    non-destructive; hexdigest is the 016x rendering; reset + replay
+    reproduces; copy() forks state."""
+    from sz_spark import kernels as K
+
+    data = b"hello world, this is a streaming hash conformance payload"
+    for seed in (0, 1, 42, 2**63):
+        one_shot = K.hash_bytes_u64(data, seed)
+        for cuts in ((6,), (1, 2, 3), (0, 20, 20), (len(data),)):
+            h = K.Hasher(seed)
+            pos = 0
+            for c in cuts:
+                h.update(data[pos : pos + c])
+                pos += c
+            h.update(data[pos:])
+            assert h.digest() == one_shot, (seed, cuts)
+            assert h.digest() == one_shot  # repeatable
+            assert h.hexdigest() == format(one_shot, "016x")
+        h = K.Hasher(seed).update(data)
+        fork = h.copy()
+        h.update(b"divergent tail")
+        assert fork.digest() == one_shot
+        assert h.digest() != one_shot
+        assert h.reset().update(data).digest() == one_shot
+
+
+def test_sha256_and_hmac_incremental():
+    """Incremental Sha256/HmacSha256 == hashlib/hmac one-shot for every
+    chunk split, including digest-then-continue (hash.h:277-300)."""
+    import hashlib
+    import hmac as hmac_mod
+
+    from sz_spark import kernels as K
+
+    data = b"abcdefgh" * 13 + b"tail"
+    key_short = b"k3y"
+    key_long = b"K" * 100  # > block size: pre-hashed per RFC-2104
+    assert K.Sha256().update(data).hexdigest() == hashlib.sha256(data).hexdigest()
+    s = K.Sha256()
+    for i in range(0, len(data), 7):
+        s.update(data[i : i + 7])
+    assert s.digest() == hashlib.sha256(data).digest()
+    for key in (key_short, key_long):
+        ref = hmac_mod.new(key, data, hashlib.sha256)
+        m = K.HmacSha256(key)
+        for i in range(0, len(data), 11):
+            m.update(data[i : i + 11])
+        assert m.hexdigest() == ref.hexdigest()
+        # digest() is non-destructive: more updates keep matching
+        mid = K.HmacSha256(key).update(data[:20])
+        _ = mid.digest()
+        mid.update(data[20:])
+        assert mid.digest() == ref.digest()
