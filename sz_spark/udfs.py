@@ -197,44 +197,7 @@ def make_utf8_norm_udf(form: str = "NFC"):
 from sz_spark.uax29 import wordbreak_segments  # full UAX-29 WB1-WB16
 
 
-def sentence_segments(text: str) -> list[str]:
-    """UAX-29 sentence segmentation, core-rules subset
-    (utf8_sentences.h surface): break after a terminator run
-    ([.!?…] + trailing closers) followed by whitespace, UNLESS the next
-    letter is lowercase (SB8 — 'e.g. this' continues); trailing
-    whitespace attaches to the preceding sentence (SB4 ParaSep/Sp
-    attachment).  Returns a tiling (segments concatenate to the
-    input).  No abbreviation lists — same stance as UAX-29 itself."""
-    import unicodedata
-
-    if not text:
-        return []
-    n = len(text)
-    out, start, i = [], 0, 0
-    terms = set(".!?…")
-    closers = set(")\"'”’]")
-    while i < n:
-        if text[i] in terms:
-            j = i + 1
-            while j < n and (text[j] in terms or text[j] in closers):
-                j += 1
-            k = j
-            while k < n and text[k].isspace():
-                k += 1
-            if k > j and k < n:
-                cat = unicodedata.category(text[k])
-                if not (cat == "Ll"):  # SB8: lowercase continues
-                    out.append(text[start:k])
-                    start = k
-                i = k
-                continue
-            if k >= n:
-                break
-            i = j
-        else:
-            i += 1
-    out.append(text[start:])
-    return [s for s in out if s]
+from sz_spark.uax29 import sentence_segments  # full UAX-29 SB1-SB11
 
 
 @pandas_udf(T.ArrayType(T.StringType()))

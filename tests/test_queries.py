@@ -298,9 +298,12 @@ def test_graphemes_vs_codepoints(spark):
         assert got[s] == expected, (s, got[s])
 
 
-def test_sentences_core():
-    """UAX-29 sentence core rules (udfs.sentence_segments): SB8
-    lowercase continuation, closer attachment, tiling invariant."""
+def test_sentences_full_uax29():
+    """UAX-29 sentence rules SB1-SB11 (sz_spark.uax29.sentence_segments):
+    SB8 lowercase continuation THROUGH neutral runs (digits/spaces — the
+    reference defers the Lower-lookahead the same way,
+    utf8_sentences/serial.h:184-255), SB8a continuers, SB9 closer
+    attachment, SB10/11 space attachment, tiling invariant."""
     from sz_spark.udfs import sentence_segments as sb
 
     assert sb("One. Two! Three? Four.") == ["One. ", "Two! ", "Three? ", "Four."]
@@ -308,7 +311,17 @@ def test_sentences_core():
     assert sb("See e.g. this one. Next.") == ["See e.g. this one. ", "Next."]
     # closers attach to the terminator
     assert sb('He said "stop." Then left.') == ['He said "stop." ', "Then left."]
-    # digits start a new sentence (not lowercase)
-    assert sb("Pi is 3. 14 is not.") == ["Pi is 3. ", "14 is not."]
+    # SB8 through a NEUTRAL run: digits then lowercase suppress the break
+    # (strict UAX-29 — the round-2 core subset broke before the digits)
+    assert sb("Pi is 3. 14 is not.") == ["Pi is 3. 14 is not."]
+    # ...but digits followed by Upper DO break after the terminator
+    assert sb("Check 3. 14 Is next.") == ["Check 3. ", "14 Is next."]
+    # SB8a: "?!" chains and ", " continuers attach
+    assert sb("Really?! Yes.") == ["Really?! ", "Yes."]
+    assert sb("It works, e.g., here. Done.") == ["It works, e.g., here. ", "Done."]
+    # SB6: ATerm between digits never breaks
+    assert sb("v1.2 ships. Now.") == ["v1.2 ships. ", "Now."]
+    # SB4: paragraph separators are hard breaks
+    assert sb("One.\nTwo.") == ["One.\n", "Two."]
     for t in ("", "no terminator at all", "Tail space. "):
         assert "".join(sb(t)) == t
