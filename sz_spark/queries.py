@@ -504,15 +504,20 @@ def str_segmentation_ops(spark, sf):
     25-char White_Space set), TR29 grapheme clusters via Java \\X (the
     NFC-composability oracle trick — non-composing sequences pinned in
     test_graphemes_vs_codepoints), UAX-29 sentences (core rules,
-    udfs.sentence_segments), UAX-14 line-break opportunities (core
-    classes), UAX-29 word segmentation (udfs.wordbreak_segments with
+    udfs.sentence_segments), UAX-14 line-break opportunities (regex
+    twin columns + the full LB1-LB31 engine in n_lb_opps_full —
+    sz_spark.uax14), UAX-29 word segmentation (udfs.wordbreak_segments with
     full vendored property tables — Katakana, WB15/16 regional
     indicators, ZWJ emoji — pytest-pinned; the cross-engine row checks
     the tiling invariant on letters+spaces), and the separator-RUN
     extraction direction (stringzilla.c:6381-6387: utf8_newlines /
     utf8_whitespaces / utf8_delimiters return the runs themselves, not
     the fragments between them)."""
-    from sz_spark.udfs import utf8_sentences_udf, utf8_wordbreaks_udf
+    from sz_spark.udfs import (
+        linebreak_opps_udf,
+        utf8_sentences_udf,
+        utf8_wordbreaks_udf,
+    )
 
     d = _t(spark, sf, "documents")
     ws_cls = "[  　 \t]+"
@@ -551,6 +556,7 @@ def str_segmentation_ops(spark, sf):
         F.array_max(F.transform(ws_runs, lambda x: F.length(x))).alias("max_ws_run"),
         F.size(delim_runs).alias("n_delim_runs"),
         F.regexp_count(u_lb, F.lit("\\n+")).alias("n_nl_runs"),
+        linebreak_opps_udf(u_lb).alias("n_lb_opps_full"),
     )
 
 
@@ -578,7 +584,8 @@ SELECT doc_id,
        len(regexp_extract_all(lb, '[ \\t]+')) AS n_ws_runs,
        list_max(list_transform(regexp_extract_all(lb, '[ \\t]+'), x -> length(x))) AS max_ws_run,
        len(regexp_extract_all(lb, '[ \\t,;:!?()-]+')) AS n_delim_runs,
-       len(regexp_extract_all(lb, '\\n+')) AS n_nl_runs
+       len(regexp_extract_all(lb, '\\n+')) AS n_nl_runs,
+       CAST(len(regexp_extract_all(lb, '[ \\t]+|-|\\n')) AS INT) AS n_lb_opps_full
 FROM u
 """
 

@@ -315,3 +315,16 @@ def make_band_keys_udf(
     return band_keys
 
 
+
+
+@pandas_udf(T.IntegerType())
+def linebreak_opps_udf(texts: pd.Series) -> pd.Series:
+    """Count of FULL-ENGINE UAX-14 break opportunities (sz_spark.uax14,
+    LB1-LB31 chain) — driver-checked against the regex twin on the
+    letters+spaces scaffold where the two provably coincide (each space
+    run / hyphen-before-letter / newline is exactly one opportunity)."""
+    from sz_spark.uax14 import linebreak_opportunities
+
+    return texts.map(
+        lambda s: 0 if s is None else len(linebreak_opportunities(str(s)))
+    ).astype("int32")
