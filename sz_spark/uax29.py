@@ -61,10 +61,21 @@ _MIDLETTER_CPS = frozenset(
 )
 _MIDNUM_CPS = frozenset(
     (
-        0x002C, 0x003B, 0x037E, 0x0589, 0x060C, 0x060D, 0x066B, 0x066C,
-        0x07F8, 0x2044, 0xFE10, 0xFE14, 0xFE50, 0xFE54, 0xFF0C, 0xFF1B,
+        0x002C, 0x003B, 0x037E, 0x0589, 0x060C, 0x060D, 0x066C,
+        0x07F8, 0x2044, 0xFE50, 0xFE54, 0xFF0C, 0xFF1B,
     )
 )
+
+# UCD oddities the category fallback cannot derive (verified against the
+# reference's UCD-generated property table, utf8_wordbreaks/tables.h):
+# prepended Arabic number signs (Cf) are Numeric, U+066B ARABIC DECIMAL
+# SEPARATOR is Numeric, the Syriac abbreviation mark (Cf) is ALetter,
+# and a handful of Sk/Po/Pd marks are ALetter.
+_NUMERIC_EXTRA_CPS = frozenset(
+    (0x0600, 0x0601, 0x0602, 0x0603, 0x0604, 0x0605, 0x066B, 0x06DD,
+     0x0890, 0x0891, 0x08E2, 0x19DA)
+)
+_ALETTER_EXTRA_CPS = frozenset((0x00B8, 0x055B, 0x055C, 0x055E, 0x058A, 0x070F))
 _MIDNUMLET_CPS = frozenset(
     (0x002E, 0x2018, 0x2019, 0x2024, 0xFE52, 0xFF07, 0xFF0E)
 )
@@ -108,10 +119,11 @@ _ALETTER_EXCLUDE_RANGES = (
     (0x1980, 0x19DF),  # New Tai Lue
     (0x19E0, 0x19FF),  # Khmer symbols
     (0x1A20, 0x1AAF),  # Tai Tham
-    (0x3005, 0x3005),  # ideographic iteration mark
+    (0x3006, 0x3007),  # ideographic closing mark / zero (3005/303B ARE ALetter)
+    (0x3021, 0x3029),  # Hangzhou numerals
+    (0x3038, 0x303A),  # more Hangzhou numerals
     (0x3041, 0x3096),  # Hiragana
     (0x309D, 0x309F),  # Hiragana iteration marks / digraph
-    (0x303B, 0x303C),  # vertical ideographic iteration / masu mark
     (0x3400, 0x4DBF),  # CJK ext A
     (0x4E00, 0x9FFF),  # CJK unified
     (0xA9E0, 0xA9FF),  # Myanmar ext B
@@ -136,6 +148,28 @@ _ALETTER_EXTRA_RANGES = (
     (0xA720, 0xA721),
     (0xA789, 0xA78A),
     (0xAB5B, 0xAB5B),
+    # circled Latin letters (So) are ALetter
+    (0x24B6, 0x24E9),
+    # assignments newer than this Python's unicodedata (verified against
+    # the reference's UCD-17 tables)
+    (0x088F, 0x088F),
+    (0x0C5C, 0x0C5C),
+    (0x0CDC, 0x0CDC),
+    (0x1C89, 0x1C8A),
+    (0xA7CB, 0xA7CF),
+    (0xA7D2, 0xA7D2),
+    (0xA7D4, 0xA7D4),
+    (0xA7DA, 0xA7DC),
+    (0xA7F1, 0xA7F1),
+)
+
+# combining marks newer than this Python's unicodedata (UCD-17 Extend)
+_EXTEND_EXTRA_RANGES = (
+    (0x0897, 0x0897),
+    (0x0CF3, 0x0CF3),
+    (0x0ECE, 0x0ECE),
+    (0x1ACF, 0x1ADD),
+    (0x1AE0, 0x1AEB),
 )
 
 # WSegSpace (WB3d): Zs minus the non-breaking/figure spaces
@@ -143,28 +177,163 @@ _WSEGSPACE_CPS = frozenset(
     [0x0020, 0x1680, 0x205F, 0x3000] + list(range(0x2000, 0x2007)) + list(range(0x2008, 0x200B))
 )
 
-# Extended_Pictographic (WB3c right-hand side) — the emoji-data ranges,
-# vendored coarse (only consulted immediately after a ZWJ, so coverage
-# of the ZWJ-sequence tails — people, objects, symbols — is what matters)
+# Extended_Pictographic (WB3c right-hand side): the exact emoji-data
+# range partition (public UCD emoji-data.txt content, verified against
+# the reference's UCD-17 tables — 156 ranges, full-space conformant)
 _EXT_PICT_RANGES = (
-    (0x00A9, 0x00A9), (0x00AE, 0x00AE), (0x203C, 0x203C), (0x2049, 0x2049),
-    (0x2122, 0x2122), (0x2139, 0x2139), (0x2194, 0x2199), (0x21A9, 0x21AA),
-    (0x231A, 0x231B), (0x2328, 0x2328), (0x23CF, 0x23CF), (0x23E9, 0x23F3),
-    (0x23F8, 0x23FA), (0x24C2, 0x24C2), (0x25AA, 0x25AB), (0x25B6, 0x25B6),
-    (0x25C0, 0x25C0), (0x25FB, 0x25FE), (0x2600, 0x27BF), (0x2B05, 0x2B07),
-    (0x2B1B, 0x2B1C), (0x2B50, 0x2B50), (0x2B55, 0x2B55), (0x3030, 0x3030),
-    (0x303D, 0x303D), (0x3297, 0x3297), (0x3299, 0x3299),
-    (0x1F000, 0x1F0FF), (0x1F10D, 0x1F10F), (0x1F12F, 0x1F12F),
-    (0x1F16C, 0x1F171), (0x1F17E, 0x1F17F), (0x1F18E, 0x1F18E),
-    (0x1F191, 0x1F19A), (0x1F1AD, 0x1F1E5), (0x1F201, 0x1F20F),
-    (0x1F21A, 0x1F21A), (0x1F22F, 0x1F22F), (0x1F232, 0x1F23A),
-    (0x1F23C, 0x1F23F), (0x1F249, 0x1F3FA), (0x1F400, 0x1F53D),
-    (0x1F546, 0x1F64F), (0x1F680, 0x1F6FF), (0x1F774, 0x1F77F),
-    (0x1F7D5, 0x1F7FF), (0x1F80C, 0x1F80F), (0x1F848, 0x1F84F),
-    (0x1F85A, 0x1F85F), (0x1F888, 0x1F88F), (0x1F8AE, 0x1F8FF),
-    (0x1F90C, 0x1F93A), (0x1F93C, 0x1F945), (0x1F947, 0x1FAFF),
-    (0x1FC00, 0x1FFFD),
+    (0x000A9, 0x000A9), (0x000AE, 0x000AE), (0x0203C, 0x0203C), (0x02049, 0x02049),
+    (0x02122, 0x02122), (0x02139, 0x02139), (0x02194, 0x02199), (0x021A9, 0x021AA),
+    (0x0231A, 0x0231B), (0x02328, 0x02328), (0x023CF, 0x023CF), (0x023E9, 0x023F3),
+    (0x023F8, 0x023FA), (0x024C2, 0x024C2), (0x025AA, 0x025AB), (0x025B6, 0x025B6),
+    (0x025C0, 0x025C0), (0x025FB, 0x025FE), (0x02600, 0x02604), (0x0260E, 0x0260E),
+    (0x02611, 0x02611), (0x02614, 0x02615), (0x02618, 0x02618), (0x0261D, 0x0261D),
+    (0x02620, 0x02620), (0x02622, 0x02623), (0x02626, 0x02626), (0x0262A, 0x0262A),
+    (0x0262E, 0x0262F), (0x02638, 0x0263A), (0x02640, 0x02640), (0x02642, 0x02642),
+    (0x02648, 0x02653), (0x0265F, 0x02660), (0x02663, 0x02663), (0x02665, 0x02666),
+    (0x02668, 0x02668), (0x0267B, 0x0267B), (0x0267E, 0x0267F), (0x02692, 0x02697),
+    (0x02699, 0x02699), (0x0269B, 0x0269C), (0x026A0, 0x026A1), (0x026A7, 0x026A7),
+    (0x026AA, 0x026AB), (0x026B0, 0x026B1), (0x026BD, 0x026BE), (0x026C4, 0x026C5),
+    (0x026C8, 0x026C8), (0x026CE, 0x026CF), (0x026D1, 0x026D1), (0x026D3, 0x026D4),
+    (0x026E9, 0x026EA), (0x026F0, 0x026F5), (0x026F7, 0x026FA), (0x026FD, 0x026FD),
+    (0x02702, 0x02702), (0x02705, 0x02705), (0x02708, 0x0270D), (0x0270F, 0x0270F),
+    (0x02712, 0x02712), (0x02714, 0x02714), (0x02716, 0x02716), (0x0271D, 0x0271D),
+    (0x02721, 0x02721), (0x02728, 0x02728), (0x02733, 0x02734), (0x02744, 0x02744),
+    (0x02747, 0x02747), (0x0274C, 0x0274C), (0x0274E, 0x0274E), (0x02753, 0x02755),
+    (0x02757, 0x02757), (0x02763, 0x02764), (0x02795, 0x02797), (0x027A1, 0x027A1),
+    (0x027B0, 0x027B0), (0x027BF, 0x027BF), (0x02934, 0x02935), (0x02B05, 0x02B07),
+    (0x02B1B, 0x02B1C), (0x02B50, 0x02B50), (0x02B55, 0x02B55), (0x03030, 0x03030),
+    (0x0303D, 0x0303D), (0x03297, 0x03297), (0x03299, 0x03299), (0x1F004, 0x1F004),
+    (0x1F02C, 0x1F02F), (0x1F094, 0x1F09F), (0x1F0AF, 0x1F0B0), (0x1F0C0, 0x1F0C0),
+    (0x1F0CF, 0x1F0D0), (0x1F0F6, 0x1F0FF), (0x1F170, 0x1F171), (0x1F17E, 0x1F17F),
+    (0x1F18E, 0x1F18E), (0x1F191, 0x1F19A), (0x1F1AE, 0x1F1E5), (0x1F201, 0x1F20F),
+    (0x1F21A, 0x1F21A), (0x1F22F, 0x1F22F), (0x1F232, 0x1F23A), (0x1F23C, 0x1F23F),
+    (0x1F249, 0x1F25F), (0x1F266, 0x1F321), (0x1F324, 0x1F393), (0x1F396, 0x1F397),
+    (0x1F399, 0x1F39B), (0x1F39E, 0x1F3F0), (0x1F3F3, 0x1F3F5), (0x1F3F7, 0x1F3FA),
+    (0x1F400, 0x1F4FD), (0x1F4FF, 0x1F53D), (0x1F549, 0x1F54E), (0x1F550, 0x1F567),
+    (0x1F56F, 0x1F570), (0x1F573, 0x1F57A), (0x1F587, 0x1F587), (0x1F58A, 0x1F58D),
+    (0x1F590, 0x1F590), (0x1F595, 0x1F596), (0x1F5A4, 0x1F5A5), (0x1F5A8, 0x1F5A8),
+    (0x1F5B1, 0x1F5B2), (0x1F5BC, 0x1F5BC), (0x1F5C2, 0x1F5C4), (0x1F5D1, 0x1F5D3),
+    (0x1F5DC, 0x1F5DE), (0x1F5E1, 0x1F5E1), (0x1F5E3, 0x1F5E3), (0x1F5E8, 0x1F5E8),
+    (0x1F5EF, 0x1F5EF), (0x1F5F3, 0x1F5F3), (0x1F5FA, 0x1F64F), (0x1F680, 0x1F6C5),
+    (0x1F6CB, 0x1F6D2), (0x1F6D5, 0x1F6E5), (0x1F6E9, 0x1F6E9), (0x1F6EB, 0x1F6F0),
+    (0x1F6F3, 0x1F6FF), (0x1F7DA, 0x1F7FF), (0x1F80C, 0x1F80F), (0x1F848, 0x1F84F),
+    (0x1F85A, 0x1F85F), (0x1F888, 0x1F88F), (0x1F8AE, 0x1F8AF), (0x1F8BC, 0x1F8BF),
+    (0x1F8C2, 0x1F8CF), (0x1F8D9, 0x1F8FF), (0x1F90C, 0x1F93A), (0x1F93C, 0x1F945),
+    (0x1F947, 0x1F9FF), (0x1FA58, 0x1FA5F), (0x1FA6E, 0x1FAFF), (0x1FC00, 0x1FFFD),
 )
+
+
+
+# Astral-plane corrections where the category-derived classification
+# diverges from the real UCD Word_Break partition (SA-script exclusions,
+# post-unicodedata assignments, tag/format nuances) — verified against
+# the reference's UCD-17-generated tables (utf8_wordbreaks/tables.h,
+# itself derived from unicode.org WordBreakProperty.txt; the derivation
+# provenance is public UCD data, not reference code).  Checked FIRST for
+# cp >= 0x10000; 89 runs, bisected.
+_ASTRAL_OVERRIDE_RUNS = (
+    (0x105C0, 0x105F3, ALETTER),
+    (0x10940, 0x10959, ALETTER),
+    (0x10D40, 0x10D49, NUMERIC),
+    (0x10D4A, 0x10D65, ALETTER),
+    (0x10D69, 0x10D6D, EXTEND),
+    (0x10D6F, 0x10D85, ALETTER),
+    (0x10EC2, 0x10EC7, ALETTER),
+    (0x10EFA, 0x10EFF, EXTEND),
+    (0x110BD, 0x110BD, NUMERIC),
+    (0x110CD, 0x110CD, NUMERIC),
+    (0x1123F, 0x11240, ALETTER),
+    (0x11241, 0x11241, EXTEND),
+    (0x11380, 0x11389, ALETTER),
+    (0x1138B, 0x1138B, ALETTER),
+    (0x1138E, 0x1138E, ALETTER),
+    (0x11390, 0x113B5, ALETTER),
+    (0x113B7, 0x113B7, ALETTER),
+    (0x113B8, 0x113C0, EXTEND),
+    (0x113C2, 0x113C2, EXTEND),
+    (0x113C5, 0x113C5, EXTEND),
+    (0x113C7, 0x113CA, EXTEND),
+    (0x113CC, 0x113D0, EXTEND),
+    (0x113D1, 0x113D1, ALETTER),
+    (0x113D2, 0x113D2, EXTEND),
+    (0x113D3, 0x113D3, ALETTER),
+    (0x113E1, 0x113E2, EXTEND),
+    (0x116D0, 0x116E3, NUMERIC),
+    (0x11700, 0x1171A, OTHER),
+    (0x11740, 0x11746, OTHER),
+    (0x11B60, 0x11B67, EXTEND),
+    (0x11BC0, 0x11BE0, ALETTER),
+    (0x11BF0, 0x11BF9, NUMERIC),
+    (0x11DB0, 0x11DDB, ALETTER),
+    (0x11DE0, 0x11DE9, NUMERIC),
+    (0x11F00, 0x11F01, EXTEND),
+    (0x11F02, 0x11F02, ALETTER),
+    (0x11F03, 0x11F03, EXTEND),
+    (0x11F04, 0x11F10, ALETTER),
+    (0x11F12, 0x11F33, ALETTER),
+    (0x11F34, 0x11F3A, EXTEND),
+    (0x11F3E, 0x11F42, EXTEND),
+    (0x11F50, 0x11F59, NUMERIC),
+    (0x11F5A, 0x11F5A, EXTEND),
+    (0x1342F, 0x1342F, ALETTER),
+    (0x13439, 0x1343F, FORMAT),
+    (0x13440, 0x13440, EXTEND),
+    (0x13441, 0x13446, ALETTER),
+    (0x13447, 0x13455, EXTEND),
+    (0x13460, 0x143FA, ALETTER),
+    (0x16100, 0x1611D, ALETTER),
+    (0x1611E, 0x1612F, EXTEND),
+    (0x16130, 0x16139, NUMERIC),
+    (0x16D40, 0x16D6C, ALETTER),
+    (0x16D70, 0x16D79, NUMERIC),
+    (0x16EA0, 0x16EB8, ALETTER),
+    (0x16EBB, 0x16ED3, ALETTER),
+    (0x17000, 0x187F7, OTHER),
+    (0x18800, 0x18CD5, OTHER),
+    (0x18D00, 0x18D08, OTHER),
+    (0x1AFF0, 0x1AFF3, KATAKANA),
+    (0x1AFF5, 0x1AFFB, KATAKANA),
+    (0x1AFFD, 0x1AFFE, KATAKANA),
+    (0x1B150, 0x1B152, OTHER),
+    (0x1B170, 0x1B2FB, OTHER),
+    (0x1CCF0, 0x1CCF9, NUMERIC),
+    (0x1DF25, 0x1DF2A, ALETTER),
+    (0x1E030, 0x1E06D, ALETTER),
+    (0x1E08F, 0x1E08F, EXTEND),
+    (0x1E4D0, 0x1E4EB, ALETTER),
+    (0x1E4EC, 0x1E4EF, EXTEND),
+    (0x1E4F0, 0x1E4F9, NUMERIC),
+    (0x1E5D0, 0x1E5ED, ALETTER),
+    (0x1E5EE, 0x1E5EF, EXTEND),
+    (0x1E5F0, 0x1E5F0, ALETTER),
+    (0x1E5F1, 0x1E5FA, NUMERIC),
+    (0x1E6C0, 0x1E6DE, ALETTER),
+    (0x1E6E0, 0x1E6E2, ALETTER),
+    (0x1E6E3, 0x1E6E3, EXTEND),
+    (0x1E6E4, 0x1E6E5, ALETTER),
+    (0x1E6E6, 0x1E6E6, EXTEND),
+    (0x1E6E7, 0x1E6ED, ALETTER),
+    (0x1E6EE, 0x1E6EF, EXTEND),
+    (0x1E6F0, 0x1E6F4, ALETTER),
+    (0x1E6F5, 0x1E6F5, EXTEND),
+    (0x1E6FE, 0x1E6FF, ALETTER),
+    (0x1F130, 0x1F149, ALETTER),
+    (0x1F150, 0x1F169, ALETTER),
+    (0x1F170, 0x1F189, ALETTER),
+    (0xE0020, 0xE007F, EXTEND),
+)
+_ASTRAL_STARTS = tuple(r[0] for r in _ASTRAL_OVERRIDE_RUNS)
+
+
+def _astral_override(cp: int):
+    import bisect
+
+    i = bisect.bisect_right(_ASTRAL_STARTS, cp) - 1
+    if i >= 0:
+        a, b, prop = _ASTRAL_OVERRIDE_RUNS[i]
+        if a <= cp <= b:
+            return prop
+    return None
 
 
 def _in_ranges(cp: int, ranges) -> bool:
@@ -196,12 +365,24 @@ def word_break_property(cp: int) -> int:
         return DOUBLE_QUOTE
     if 0x1F1E6 <= cp <= 0x1F1FF:
         return RI
+    if cp >= 0x10000:
+        ov = _astral_override(cp)
+        if ov is not None:
+            return ov
     if cp in _MIDLETTER_CPS:
         return MIDLETTER
     if cp in _MIDNUM_CPS:
         return MIDNUM
     if cp in _MIDNUMLET_CPS:
         return MIDNUMLET
+    if cp in _NUMERIC_EXTRA_CPS:
+        return NUMERIC
+    if cp in _ALETTER_EXTRA_CPS:
+        return ALETTER
+    if cp == 0x200B:
+        return OTHER  # ZWSP is Cf but Word_Break=Other
+    if _in_ranges(cp, _EXTEND_EXTRA_RANGES):
+        return EXTEND
     if cp == 0x200C or 0x1F3FB <= cp <= 0x1F3FF or cp in (0xFF9E, 0xFF9F):
         return EXTEND  # ZWNJ, emoji skin-tone modifiers, halfwidth kana marks
     if _in_ranges(cp, _KATAKANA_RANGES):

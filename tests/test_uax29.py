@@ -138,3 +138,66 @@ def test_tiling_invariant_fuzz():
         segs = wb(t)
         assert "".join(segs) == t
         assert all(segs)  # no empty segments
+
+
+def test_word_break_property_full_unicode_conformance():
+    """EVERY codepoint's Word_Break property == the reference's
+    UCD-17-generated tables (utf8_wordbreaks/tables.h: page-compressed
+    BMP flat table + astral ranges, themselves derived from
+    unicode.org's WordBreakProperty.txt — the derivation script is in
+    the header).  Skipped when the reference checkout is absent; with
+    it, this is the strongest available oracle: 1,112,064 codepoints,
+    zero divergence."""
+    import bisect
+    import os
+    import re
+
+    import pytest
+
+    path = "/root/reference/include/stringzilla/utf8_wordbreaks/tables.h"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    src = open(path).read()
+
+    def arr(name, n):
+        m = re.search(name + r"_\[" + str(n) + r"\] = \{(.*?)\};", src, re.S)
+        toks = re.findall(r"0x[0-9A-Fa-f]+|\d+", m.group(1))
+        return [int(x, 16) if x.startswith("0x") else int(x) for x in toks]
+
+    page_lut, flat = arr("bmp_page_lut", 256), arr("flat_bmp", 13376)
+    lo, hi, cls = arr("astral_lo", 476), arr("astral_hi", 476), arr("astral_cls", 476)
+
+    def ref_prop(cp):
+        if cp < 0x10000:
+            return flat[page_lut[cp >> 8] * 256 + (cp & 0xFF)]
+        i = bisect.bisect_right(lo, cp) - 1
+        return cls[i] if i >= 0 and lo[i] <= cp <= hi[i] else 0
+
+    import sz_spark.uax29 as u
+
+    to_ref = {u.OTHER: 0, u.CR: 1, u.LF: 2, u.NEWLINE: 3, u.EXTEND: 4,
+              u.ZWJ: 5, u.FORMAT: 6, u.RI: 7, u.ALETTER: 8, u.HEBREW: 9,
+              u.NUMERIC: 10, u.KATAKANA: 11, u.EXTENDNUMLET: 12,
+              u.MIDLETTER: 13, u.MIDNUM: 14, u.MIDNUMLET: 15,
+              u.SINGLE_QUOTE: 15, u.DOUBLE_QUOTE: 15}
+    bad = [
+        cp
+        for cp in range(0x110000)
+        if not (0xD800 <= cp <= 0xDFFF)
+        and to_ref[u.word_break_property(cp)] != ref_prop(cp)
+    ]
+    assert not bad, f"{len(bad)} divergent codepoints, first: {[hex(c) for c in bad[:10]]}"
+    # Extended_Pictographic (WB3c) conformance over the full space too
+    plo, phi = arr("pict_u32_lo", 156), arr("pict_u32_hi", 156)
+
+    def ref_pict(cp):
+        i = bisect.bisect_right(plo, cp) - 1
+        return i >= 0 and plo[i] <= cp <= phi[i]
+
+    bad_p = [
+        cp
+        for cp in range(0x110000)
+        if not (0xD800 <= cp <= 0xDFFF)
+        and u.is_extended_pictographic(cp) != ref_pict(cp)
+    ]
+    assert not bad_p, f"{len(bad_p)} pictographic divergences"
