@@ -96,9 +96,527 @@ _EB_RANGES = (  # emoji modifier bases (subset: people/hands/faces that take ton
 )
 
 
+# Line_Break corrections where the vendored-list/category-derived
+# classification diverges from the real UCD partition after LB1 —
+# verified against the reference's UCD-17-generated tables
+# (utf8_linebreaks/tables.h palette/trie/ranges, derived from
+# unicode.org LineBreak.txt).  Classes this engine does not model are
+# folded to their LB1-style defaults on the reference side before the
+# diff (AK/AP/AS/CB -> AL, VF/VI -> CM, HH -> BA).  Consulted FIRST;
+# 490 runs, bisected.
+_LB_OVERRIDE_RUNS = (
+    (0x00000, 0x00008, LB_CM),
+    (0x0000E, 0x0001F, LB_CM),
+    (0x0007C, 0x0007C, LB_BA),
+    (0x0007F, 0x00084, LB_CM),
+    (0x00086, 0x0009F, LB_CM),
+    (0x002DF, 0x002DF, LB_BB),
+    (0x0035C, 0x00362, LB_GL),
+    (0x005BE, 0x005BE, LB_BA),
+    (0x005C6, 0x005C6, LB_EX),
+    (0x00600, 0x00605, LB_NU),
+    (0x00609, 0x0060B, LB_PO),
+    (0x0061B, 0x0061B, LB_EX),
+    (0x0061C, 0x0061C, LB_CM),
+    (0x0061D, 0x0061F, LB_EX),
+    (0x0066A, 0x0066A, LB_PO),
+    (0x0066B, 0x0066C, LB_NU),
+    (0x006D4, 0x006D4, LB_EX),
+    (0x006DD, 0x006DD, LB_NU),
+    (0x007F8, 0x007F8, LB_IS),
+    (0x007F9, 0x007F9, LB_EX),
+    (0x00890, 0x00891, LB_NU),
+    (0x00897, 0x00897, LB_CM),
+    (0x008E2, 0x008E2, LB_NU),
+    (0x00964, 0x00965, LB_BA),
+    (0x009F2, 0x009F3, LB_PO),
+    (0x009F9, 0x009F9, LB_PO),
+    (0x00C77, 0x00C77, LB_BB),
+    (0x00C84, 0x00C84, LB_BB),
+    (0x00CF3, 0x00CF3, LB_CM),
+    (0x00D79, 0x00D79, LB_PO),
+    (0x00E5A, 0x00E5B, LB_BA),
+    (0x00ECE, 0x00ECE, LB_CM),
+    (0x00F01, 0x00F04, LB_BB),
+    (0x00F06, 0x00F07, LB_BB),
+    (0x00F09, 0x00F0A, LB_BB),
+    (0x00F0B, 0x00F0B, LB_BA),
+    (0x00F0D, 0x00F11, LB_EX),
+    (0x00F14, 0x00F14, LB_EX),
+    (0x00F34, 0x00F34, LB_BA),
+    (0x00F7F, 0x00F7F, LB_BA),
+    (0x00F85, 0x00F85, LB_BA),
+    (0x00FBE, 0x00FBF, LB_BA),
+    (0x00FD0, 0x00FD1, LB_BB),
+    (0x00FD2, 0x00FD2, LB_BA),
+    (0x00FD3, 0x00FD3, LB_BB),
+    (0x00FD9, 0x00FDA, LB_GL),
+    (0x0104A, 0x0104B, LB_BA),
+    (0x01361, 0x01361, LB_BA),
+    (0x01400, 0x01400, LB_BA),
+    (0x01680, 0x01680, LB_BA),
+    (0x016EB, 0x016ED, LB_BA),
+    (0x01735, 0x01736, LB_BA),
+    (0x017D4, 0x017D5, LB_BA),
+    (0x017D8, 0x017D8, LB_BA),
+    (0x017DA, 0x017DA, LB_BA),
+    (0x01802, 0x01803, LB_EX),
+    (0x01804, 0x01805, LB_BA),
+    (0x01806, 0x01806, LB_BB),
+    (0x01808, 0x01809, LB_EX),
+    (0x0180E, 0x0180E, LB_GL),
+    (0x01944, 0x01945, LB_EX),
+    (0x019DA, 0x019DA, LB_NU),
+    (0x01ACF, 0x01ADD, LB_CM),
+    (0x01AE0, 0x01AEA, LB_CM),
+    (0x01AEB, 0x01AEB, LB_GL),
+    (0x01B4E, 0x01B4F, LB_BA),
+    (0x01B50, 0x01B59, LB_AL),
+    (0x01B5A, 0x01B5B, LB_BA),
+    (0x01B5C, 0x01B5C, LB_ID),
+    (0x01B5D, 0x01B60, LB_BA),
+    (0x01B61, 0x01B6A, LB_ID),
+    (0x01B74, 0x01B7C, LB_ID),
+    (0x01B7D, 0x01B7F, LB_BA),
+    (0x01C3B, 0x01C3F, LB_BA),
+    (0x01C7E, 0x01C7F, LB_BA),
+    (0x01DCD, 0x01DCD, LB_GL),
+    (0x01DFC, 0x01DFC, LB_GL),
+    (0x0200E, 0x0200F, LB_CM),
+    (0x02027, 0x02027, LB_BA),
+    (0x0202A, 0x0202E, LB_CM),
+    (0x02034, 0x02037, LB_PO),
+    (0x0203C, 0x0203C, LB_NS),
+    (0x02044, 0x02044, LB_IS),
+    (0x02056, 0x02056, LB_BA),
+    (0x02057, 0x02057, LB_PO),
+    (0x02058, 0x0205B, LB_BA),
+    (0x0205D, 0x0205F, LB_BA),
+    (0x02066, 0x0206F, LB_CM),
+    (0x020A7, 0x020A7, LB_PO),
+    (0x020B6, 0x020B6, LB_PO),
+    (0x020BB, 0x020BB, LB_PO),
+    (0x020BE, 0x020BE, LB_PO),
+    (0x020C0, 0x020C0, LB_PO),
+    (0x020C1, 0x020CF, LB_PR),
+    (0x02109, 0x02109, LB_PO),
+    (0x02116, 0x02116, LB_PR),
+    (0x0231A, 0x0231B, LB_ID),
+    (0x023F0, 0x023F3, LB_ID),
+    (0x02600, 0x02603, LB_ID),
+    (0x02614, 0x02615, LB_ID),
+    (0x02618, 0x02618, LB_ID),
+    (0x0261A, 0x0261C, LB_ID),
+    (0x0261E, 0x0261F, LB_ID),
+    (0x02639, 0x0263B, LB_ID),
+    (0x02668, 0x02668, LB_ID),
+    (0x0267F, 0x0267F, LB_ID),
+    (0x026BD, 0x026C8, LB_ID),
+    (0x026CD, 0x026CD, LB_ID),
+    (0x026CF, 0x026D1, LB_ID),
+    (0x026D3, 0x026D4, LB_ID),
+    (0x026D8, 0x026D9, LB_ID),
+    (0x026DC, 0x026DC, LB_ID),
+    (0x026DF, 0x026E1, LB_ID),
+    (0x026EA, 0x026EA, LB_ID),
+    (0x026F1, 0x026F5, LB_ID),
+    (0x026F7, 0x026F8, LB_ID),
+    (0x026FA, 0x026FA, LB_ID),
+    (0x026FD, 0x02704, LB_ID),
+    (0x02708, 0x02709, LB_ID),
+    (0x0275B, 0x02760, LB_QU),
+    (0x02764, 0x02764, LB_ID),
+    (0x02800, 0x02800, LB_BA),
+    (0x02CF9, 0x02CF9, LB_EX),
+    (0x02CFA, 0x02CFC, LB_BA),
+    (0x02CFE, 0x02CFE, LB_EX),
+    (0x02CFF, 0x02CFF, LB_BA),
+    (0x02D70, 0x02D70, LB_BA),
+    (0x02E00, 0x02E01, LB_QU),
+    (0x02E06, 0x02E08, LB_QU),
+    (0x02E0B, 0x02E0B, LB_QU),
+    (0x02E0E, 0x02E15, LB_BA),
+    (0x02E17, 0x02E17, LB_BA),
+    (0x02E18, 0x02E18, LB_OP),
+    (0x02E19, 0x02E19, LB_BA),
+    (0x02E2A, 0x02E2D, LB_BA),
+    (0x02E2E, 0x02E2E, LB_EX),
+    (0x02E30, 0x02E31, LB_BA),
+    (0x02E33, 0x02E34, LB_BA),
+    (0x02E3A, 0x02E3B, LB_B2),
+    (0x02E3C, 0x02E3E, LB_BA),
+    (0x02E40, 0x02E41, LB_BA),
+    (0x02E43, 0x02E4A, LB_BA),
+    (0x02E4C, 0x02E4C, LB_BA),
+    (0x02E4E, 0x02E4F, LB_BA),
+    (0x02E53, 0x02E54, LB_EX),
+    (0x02E56, 0x02E56, LB_CP),
+    (0x02E58, 0x02E58, LB_CP),
+    (0x02E5A, 0x02E5A, LB_CP),
+    (0x02E5C, 0x02E5C, LB_CP),
+    (0x02E5D, 0x02E5D, LB_BA),
+    (0x02E9A, 0x02E9A, LB_AL),
+    (0x02EF4, 0x02EFF, LB_AL),
+    (0x02FD6, 0x02FEF, LB_AL),
+    (0x03000, 0x03000, LB_BA),
+    (0x03001, 0x03002, LB_CL),
+    (0x03003, 0x03004, LB_ID),
+    (0x03005, 0x03005, LB_NS),
+    (0x03006, 0x03007, LB_ID),
+    (0x03012, 0x03013, LB_ID),
+    (0x0301C, 0x0301C, LB_NS),
+    (0x03020, 0x03029, LB_ID),
+    (0x03030, 0x03034, LB_ID),
+    (0x03035, 0x03035, LB_CM),
+    (0x03036, 0x0303A, LB_ID),
+    (0x0303B, 0x0303C, LB_NS),
+    (0x0303D, 0x0303F, LB_ID),
+    (0x03095, 0x03096, LB_NS),
+    (0x03097, 0x03098, LB_AL),
+    (0x03099, 0x0309A, LB_CM),
+    (0x0309B, 0x0309E, LB_NS),
+    (0x030A0, 0x030A0, LB_NS),
+    (0x030F5, 0x030F6, LB_NS),
+    (0x030FD, 0x030FE, LB_NS),
+    (0x03105, 0x0312F, LB_ID),
+    (0x03130, 0x03130, LB_AL),
+    (0x0318F, 0x0318F, LB_AL),
+    (0x03190, 0x031E5, LB_ID),
+    (0x031EF, 0x031EF, LB_ID),
+    (0x031F0, 0x031FF, LB_NS),
+    (0x03200, 0x0321E, LB_ID),
+    (0x03220, 0x03247, LB_ID),
+    (0x03250, 0x033FF, LB_ID),
+    (0x0A015, 0x0A015, LB_NS),
+    (0x0A48D, 0x0A48F, LB_AL),
+    (0x0A490, 0x0A4C6, LB_ID),
+    (0x0A4FE, 0x0A4FF, LB_BA),
+    (0x0A60D, 0x0A60D, LB_BA),
+    (0x0A60E, 0x0A60E, LB_EX),
+    (0x0A60F, 0x0A60F, LB_BA),
+    (0x0A6F3, 0x0A6F7, LB_BA),
+    (0x0A838, 0x0A838, LB_PO),
+    (0x0A874, 0x0A875, LB_BB),
+    (0x0A876, 0x0A877, LB_EX),
+    (0x0A8CE, 0x0A8CF, LB_BA),
+    (0x0A8FC, 0x0A8FC, LB_BB),
+    (0x0A92E, 0x0A92F, LB_BA),
+    (0x0A960, 0x0A97C, LB_JL),
+    (0x0A9C1, 0x0A9C6, LB_ID),
+    (0x0A9C7, 0x0A9C9, LB_BA),
+    (0x0A9CA, 0x0A9CD, LB_ID),
+    (0x0A9CF, 0x0A9CF, LB_BA),
+    (0x0A9D0, 0x0A9D9, LB_AL),
+    (0x0A9DE, 0x0A9DF, LB_ID),
+    (0x0AA40, 0x0AA42, LB_BA),
+    (0x0AA44, 0x0AA4B, LB_BA),
+    (0x0AA50, 0x0AA59, LB_AL),
+    (0x0AA5C, 0x0AA5C, LB_ID),
+    (0x0AA5D, 0x0AA5F, LB_BA),
+    (0x0AAF0, 0x0AAF1, LB_BA),
+    (0x0ABEB, 0x0ABEB, LB_BA),
+    (0x0D7B0, 0x0D7C6, LB_JV),
+    (0x0D7CB, 0x0D7FB, LB_JT),
+    (0x0FDFC, 0x0FDFC, LB_PO),
+    (0x0FE10, 0x0FE12, LB_CL),
+    (0x0FE13, 0x0FE14, LB_NS),
+    (0x0FE15, 0x0FE16, LB_EX),
+    (0x0FE20, 0x0FE20, LB_GL),
+    (0x0FE22, 0x0FE22, LB_GL),
+    (0x0FE24, 0x0FE24, LB_GL),
+    (0x0FE26, 0x0FE27, LB_GL),
+    (0x0FE29, 0x0FE29, LB_GL),
+    (0x0FE2B, 0x0FE2B, LB_GL),
+    (0x0FE2D, 0x0FE2E, LB_GL),
+    (0x0FE30, 0x0FE34, LB_ID),
+    (0x0FE45, 0x0FE46, LB_ID),
+    (0x0FE49, 0x0FE4F, LB_ID),
+    (0x0FE50, 0x0FE50, LB_CL),
+    (0x0FE51, 0x0FE51, LB_ID),
+    (0x0FE52, 0x0FE52, LB_CL),
+    (0x0FE54, 0x0FE55, LB_NS),
+    (0x0FE56, 0x0FE57, LB_EX),
+    (0x0FE58, 0x0FE58, LB_ID),
+    (0x0FE5F, 0x0FE66, LB_ID),
+    (0x0FE68, 0x0FE68, LB_ID),
+    (0x0FE6B, 0x0FE6B, LB_ID),
+    (0x0FF02, 0x0FF03, LB_ID),
+    (0x0FF06, 0x0FF07, LB_ID),
+    (0x0FF0A, 0x0FF0B, LB_ID),
+    (0x0FF0C, 0x0FF0C, LB_CL),
+    (0x0FF0D, 0x0FF0D, LB_ID),
+    (0x0FF0E, 0x0FF0E, LB_CL),
+    (0x0FF0F, 0x0FF19, LB_ID),
+    (0x0FF1A, 0x0FF1B, LB_NS),
+    (0x0FF1C, 0x0FF1E, LB_ID),
+    (0x0FF20, 0x0FF3A, LB_ID),
+    (0x0FF3C, 0x0FF3C, LB_ID),
+    (0x0FF3E, 0x0FF5A, LB_ID),
+    (0x0FF5C, 0x0FF5C, LB_ID),
+    (0x0FF5E, 0x0FF5E, LB_ID),
+    (0x0FF61, 0x0FF61, LB_CL),
+    (0x0FF64, 0x0FF64, LB_CL),
+    (0x0FF9E, 0x0FF9F, LB_NS),
+    (0x0FFA0, 0x0FFBE, LB_ID),
+    (0x0FFC2, 0x0FFC7, LB_ID),
+    (0x0FFCA, 0x0FFCF, LB_ID),
+    (0x0FFD2, 0x0FFD7, LB_ID),
+    (0x0FFDA, 0x0FFDC, LB_ID),
+    (0x0FFE0, 0x0FFE0, LB_PO),
+    (0x0FFE2, 0x0FFE4, LB_ID),
+    (0x0FFF9, 0x0FFFB, LB_CM),
+    (0x10100, 0x10102, LB_BA),
+    (0x1039F, 0x1039F, LB_BA),
+    (0x103D0, 0x103D0, LB_BA),
+    (0x10857, 0x10857, LB_BA),
+    (0x1091F, 0x1091F, LB_BA),
+    (0x10A50, 0x10A57, LB_BA),
+    (0x10AF0, 0x10AF5, LB_BA),
+    (0x10AF6, 0x10AF6, LB_IN),
+    (0x10B39, 0x10B3F, LB_BA),
+    (0x10D40, 0x10D49, LB_NU),
+    (0x10D69, 0x10D6D, LB_CM),
+    (0x10D6E, 0x10D6E, LB_BA),
+    (0x10EAD, 0x10EAD, LB_BA),
+    (0x10ED0, 0x10ED0, LB_BA),
+    (0x10EFA, 0x10EFF, LB_CM),
+    (0x11047, 0x11048, LB_BA),
+    (0x11049, 0x1104D, LB_ID),
+    (0x11052, 0x11065, LB_ID),
+    (0x11066, 0x1106F, LB_AL),
+    (0x1107F, 0x1107F, LB_GL),
+    (0x110BD, 0x110BD, LB_NU),
+    (0x110BE, 0x110C1, LB_BA),
+    (0x110CD, 0x110CD, LB_NU),
+    (0x11140, 0x11143, LB_BA),
+    (0x11175, 0x11175, LB_BB),
+    (0x111C5, 0x111C6, LB_BA),
+    (0x111C8, 0x111C8, LB_BA),
+    (0x111DB, 0x111DB, LB_BB),
+    (0x111DD, 0x111DF, LB_BA),
+    (0x11238, 0x11239, LB_BA),
+    (0x1123B, 0x1123C, LB_BA),
+    (0x11241, 0x11241, LB_CM),
+    (0x112A9, 0x112A9, LB_BA),
+    (0x1133D, 0x1133D, LB_BA),
+    (0x1135D, 0x1135D, LB_BA),
+    (0x113B7, 0x113B7, LB_ID),
+    (0x113B8, 0x113C0, LB_CM),
+    (0x113C2, 0x113C2, LB_CM),
+    (0x113C5, 0x113C5, LB_CM),
+    (0x113C7, 0x113CA, LB_CM),
+    (0x113CC, 0x113D0, LB_CM),
+    (0x113D2, 0x113D2, LB_CM),
+    (0x113D3, 0x113D5, LB_ID),
+    (0x113D7, 0x113D8, LB_ID),
+    (0x113E1, 0x113E2, LB_CM),
+    (0x1144B, 0x1144E, LB_BA),
+    (0x1145A, 0x1145B, LB_BA),
+    (0x115C1, 0x115C1, LB_BB),
+    (0x115C2, 0x115C3, LB_BA),
+    (0x115C4, 0x115C5, LB_EX),
+    (0x115C9, 0x115D7, LB_BA),
+    (0x11641, 0x11642, LB_BA),
+    (0x11660, 0x1166C, LB_BB),
+    (0x116D0, 0x116E3, LB_NU),
+    (0x1173C, 0x1173E, LB_BA),
+    (0x11944, 0x11946, LB_BA),
+    (0x11950, 0x11959, LB_AL),
+    (0x119E2, 0x119E2, LB_BB),
+    (0x11A3F, 0x11A3F, LB_BB),
+    (0x11A41, 0x11A44, LB_BA),
+    (0x11A45, 0x11A45, LB_BB),
+    (0x11A9A, 0x11A9C, LB_BA),
+    (0x11A9E, 0x11AA0, LB_BB),
+    (0x11AA1, 0x11AA2, LB_BA),
+    (0x11B00, 0x11B09, LB_BB),
+    (0x11B60, 0x11B67, LB_CM),
+    (0x11BF0, 0x11BF9, LB_NU),
+    (0x11C41, 0x11C45, LB_BA),
+    (0x11C70, 0x11C70, LB_BB),
+    (0x11C71, 0x11C71, LB_EX),
+    (0x11DE0, 0x11DE9, LB_NU),
+    (0x11EF2, 0x11EF2, LB_BA),
+    (0x11EF7, 0x11EF8, LB_BA),
+    (0x11F00, 0x11F01, LB_CM),
+    (0x11F03, 0x11F03, LB_CM),
+    (0x11F34, 0x11F3A, LB_CM),
+    (0x11F3E, 0x11F42, LB_CM),
+    (0x11F43, 0x11F44, LB_BA),
+    (0x11F45, 0x11F4F, LB_ID),
+    (0x11F5A, 0x11F5A, LB_CM),
+    (0x11FDD, 0x11FE0, LB_PO),
+    (0x11FFF, 0x11FFF, LB_BA),
+    (0x12470, 0x12474, LB_BA),
+    (0x13258, 0x1325A, LB_OP),
+    (0x1325B, 0x1325D, LB_CL),
+    (0x13282, 0x13282, LB_CL),
+    (0x13286, 0x13286, LB_OP),
+    (0x13287, 0x13287, LB_CL),
+    (0x13288, 0x13288, LB_OP),
+    (0x13289, 0x13289, LB_CL),
+    (0x13379, 0x13379, LB_OP),
+    (0x1337A, 0x1337B, LB_CL),
+    (0x1342F, 0x1342F, LB_OP),
+    (0x13430, 0x13436, LB_GL),
+    (0x13437, 0x13437, LB_OP),
+    (0x13438, 0x13438, LB_CL),
+    (0x13439, 0x1343B, LB_GL),
+    (0x1343C, 0x1343C, LB_OP),
+    (0x1343D, 0x1343D, LB_CL),
+    (0x1343E, 0x1343E, LB_OP),
+    (0x1343F, 0x1343F, LB_CL),
+    (0x13440, 0x13440, LB_CM),
+    (0x13447, 0x13455, LB_CM),
+    (0x145CE, 0x145CE, LB_OP),
+    (0x145CF, 0x145CF, LB_CL),
+    (0x1611E, 0x1612F, LB_CM),
+    (0x16A6E, 0x16A6F, LB_BA),
+    (0x16AF5, 0x16AF5, LB_BA),
+    (0x16B37, 0x16B39, LB_BA),
+    (0x16B44, 0x16B44, LB_BA),
+    (0x16D6E, 0x16D6F, LB_BA),
+    (0x16D70, 0x16D79, LB_NU),
+    (0x16E97, 0x16E98, LB_BA),
+    (0x16FE0, 0x16FE3, LB_NS),
+    (0x16FE4, 0x16FE4, LB_GL),
+    (0x16FF2, 0x16FF3, LB_NS),
+    (0x16FF4, 0x16FF6, LB_ID),
+    (0x17000, 0x18AFF, LB_ID),
+    (0x18D00, 0x18D1E, LB_ID),
+    (0x18D80, 0x18DF2, LB_ID),
+    (0x1B123, 0x1B131, LB_AL),
+    (0x1B132, 0x1B132, LB_NS),
+    (0x1B133, 0x1B14F, LB_AL),
+    (0x1B150, 0x1B152, LB_NS),
+    (0x1B153, 0x1B154, LB_AL),
+    (0x1B155, 0x1B155, LB_NS),
+    (0x1B156, 0x1B163, LB_AL),
+    (0x1B164, 0x1B167, LB_NS),
+    (0x1B168, 0x1B16F, LB_AL),
+    (0x1B170, 0x1B2FB, LB_ID),
+    (0x1BC9F, 0x1BC9F, LB_BA),
+    (0x1BCA0, 0x1BCA3, LB_CM),
+    (0x1CCF0, 0x1CCF9, LB_NU),
+    (0x1D173, 0x1D17A, LB_CM),
+    (0x1DA87, 0x1DA8A, LB_BA),
+    (0x1E08F, 0x1E08F, LB_CM),
+    (0x1E4EC, 0x1E4EF, LB_CM),
+    (0x1E4F0, 0x1E4F9, LB_NU),
+    (0x1E5EE, 0x1E5EF, LB_CM),
+    (0x1E5F1, 0x1E5FA, LB_NU),
+    (0x1E6E3, 0x1E6E3, LB_CM),
+    (0x1E6E6, 0x1E6E6, LB_CM),
+    (0x1E6EE, 0x1E6EF, LB_CM),
+    (0x1E6F5, 0x1E6F5, LB_CM),
+    (0x1E95E, 0x1E95F, LB_OP),
+    (0x1ECAC, 0x1ECAC, LB_PO),
+    (0x1ECB0, 0x1ECB0, LB_PO),
+    (0x1F000, 0x1F003, LB_ID),
+    (0x1F005, 0x1F02B, LB_ID),
+    (0x1F030, 0x1F093, LB_ID),
+    (0x1F0A0, 0x1F0AE, LB_ID),
+    (0x1F0B1, 0x1F0BF, LB_ID),
+    (0x1F0C1, 0x1F0CE, LB_ID),
+    (0x1F0D1, 0x1F0F5, LB_ID),
+    (0x1F170, 0x1F171, LB_AL),
+    (0x1F17E, 0x1F17F, LB_AL),
+    (0x1F18E, 0x1F18E, LB_AL),
+    (0x1F191, 0x1F19A, LB_AL),
+    (0x1F200, 0x1F200, LB_ID),
+    (0x1F210, 0x1F219, LB_ID),
+    (0x1F21B, 0x1F22E, LB_ID),
+    (0x1F230, 0x1F231, LB_ID),
+    (0x1F23B, 0x1F23B, LB_ID),
+    (0x1F240, 0x1F248, LB_ID),
+    (0x1F260, 0x1F265, LB_ID),
+    (0x1F322, 0x1F323, LB_ID),
+    (0x1F394, 0x1F395, LB_ID),
+    (0x1F398, 0x1F398, LB_ID),
+    (0x1F3B5, 0x1F3B6, LB_AL),
+    (0x1F3BC, 0x1F3BC, LB_AL),
+    (0x1F3F1, 0x1F3F2, LB_ID),
+    (0x1F3F6, 0x1F3F6, LB_ID),
+    (0x1F48F, 0x1F48F, LB_EB),
+    (0x1F491, 0x1F491, LB_EB),
+    (0x1F4A0, 0x1F4A0, LB_AL),
+    (0x1F4A2, 0x1F4A2, LB_AL),
+    (0x1F4A4, 0x1F4A4, LB_AL),
+    (0x1F4AF, 0x1F4AF, LB_AL),
+    (0x1F4B1, 0x1F4B2, LB_AL),
+    (0x1F4FE, 0x1F4FE, LB_ID),
+    (0x1F500, 0x1F506, LB_AL),
+    (0x1F517, 0x1F524, LB_AL),
+    (0x1F532, 0x1F53D, LB_AL),
+    (0x1F549, 0x1F549, LB_AL),
+    (0x1F54F, 0x1F54F, LB_ID),
+    (0x1F568, 0x1F56E, LB_ID),
+    (0x1F571, 0x1F572, LB_ID),
+    (0x1F57B, 0x1F586, LB_ID),
+    (0x1F588, 0x1F589, LB_ID),
+    (0x1F58E, 0x1F58F, LB_ID),
+    (0x1F591, 0x1F594, LB_ID),
+    (0x1F597, 0x1F5A3, LB_ID),
+    (0x1F5A6, 0x1F5A7, LB_ID),
+    (0x1F5A9, 0x1F5B0, LB_ID),
+    (0x1F5B3, 0x1F5BB, LB_ID),
+    (0x1F5BD, 0x1F5C1, LB_ID),
+    (0x1F5C5, 0x1F5D0, LB_ID),
+    (0x1F5DF, 0x1F5E0, LB_ID),
+    (0x1F5E2, 0x1F5E2, LB_ID),
+    (0x1F5E4, 0x1F5E7, LB_ID),
+    (0x1F5E9, 0x1F5EE, LB_ID),
+    (0x1F5F0, 0x1F5F2, LB_ID),
+    (0x1F676, 0x1F678, LB_QU),
+    (0x1F679, 0x1F67B, LB_NS),
+    (0x1F6C6, 0x1F6CA, LB_ID),
+    (0x1F6D3, 0x1F6D4, LB_ID),
+    (0x1F6E6, 0x1F6E8, LB_ID),
+    (0x1F6EA, 0x1F6EA, LB_ID),
+    (0x1F6F1, 0x1F6F2, LB_ID),
+    (0x1F774, 0x1F776, LB_ID),
+    (0x1F77B, 0x1F77F, LB_ID),
+    (0x1F7D5, 0x1F7D9, LB_ID),
+    (0x1F80C, 0x1F80F, LB_AL),
+    (0x1F848, 0x1F84F, LB_AL),
+    (0x1F85A, 0x1F85F, LB_AL),
+    (0x1F888, 0x1F88F, LB_AL),
+    (0x1F8AE, 0x1F8AF, LB_AL),
+    (0x1F8BC, 0x1F8BF, LB_AL),
+    (0x1F8C2, 0x1F8CF, LB_AL),
+    (0x1F8D9, 0x1F8FF, LB_AL),
+    (0x1F90F, 0x1F90F, LB_EB),
+    (0x1F93B, 0x1F93B, LB_ID),
+    (0x1F946, 0x1F946, LB_ID),
+    (0x1F9D0, 0x1F9D0, LB_ID),
+    (0x1FA60, 0x1FA6D, LB_ID),
+    (0x1FAC3, 0x1FAC5, LB_EB),
+    (0x1FAF0, 0x1FAF8, LB_EB),
+    (0x2FFFE, 0x2FFFF, LB_AL),
+    (0xE0001, 0xE0001, LB_CM),
+    (0xE0020, 0xE007F, LB_CM),
+)
+_LB_STARTS = tuple(r[0] for r in _LB_OVERRIDE_RUNS)
+
+
+def _lb_override(cp: int):
+    import bisect
+
+    i = bisect.bisect_right(_LB_STARTS, cp) - 1
+    if i >= 0:
+        a, b, prop = _LB_OVERRIDE_RUNS[i]
+        if a <= cp <= b:
+            return prop
+    return None
+
+
 @lru_cache(maxsize=None)
 def line_break_class(cp: int) -> int:
-    """LB1-resolved Line_Break class of a codepoint."""
+    """LB1-resolved Line_Break class of a codepoint (UCD-verified
+    override runs first, then the vendored lists / category fallback)."""
+    ov = _lb_override(cp)
+    if ov is not None:
+        return ov
     if cp in (0x000B, 0x000C, 0x2028, 0x2029):
         return LB_BK
     if cp == 0x000D:

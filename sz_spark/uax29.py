@@ -580,10 +580,235 @@ _SCONTINUE_CPS = frozenset(
 _S_SP_CPS = frozenset((0x0009, 0x00A0, 0x1680, 0x202F, 0x205F, 0x3000, 0x0020))
 
 
+# Sentence_Break corrections where the category/list-derived
+# classification diverges from the real UCD partition — verified against
+# the reference's UCD-17-generated tables (utf8_sentences/tables.h,
+# derived from unicode.org SentenceBreakProperty.txt).  Consulted FIRST;
+# 198 runs, bisected.  Covers e.g.: VT/FF are Sp, semicolons are
+# SContinue, Hebrew geresh and caseless letters are OLetter, prepended
+# number signs are Numeric, dingbat quotes are Close, U+2026 is Other.
+_SB_OVERRIDE_RUNS = (
+    (0x0000B, 0x0000C, S_SP),
+    (0x0003B, 0x0003B, S_SCONTINUE),
+    (0x00295, 0x00295, S_OLETTER),
+    (0x0037E, 0x0037E, S_SCONTINUE),
+    (0x005F3, 0x005F3, S_OLETTER),
+    (0x00600, 0x00605, S_NUMERIC),
+    (0x0061D, 0x0061E, S_STERM),
+    (0x0066B, 0x0066C, S_NUMERIC),
+    (0x006DD, 0x006DD, S_NUMERIC),
+    (0x00837, 0x00837, S_STERM),
+    (0x00839, 0x00839, S_STERM),
+    (0x0083D, 0x0083E, S_STERM),
+    (0x0088F, 0x0088F, S_OLETTER),
+    (0x00890, 0x00891, S_NUMERIC),
+    (0x00897, 0x00897, S_EXTEND),
+    (0x008E2, 0x008E2, S_NUMERIC),
+    (0x00C5C, 0x00C5C, S_OLETTER),
+    (0x00CDC, 0x00CDC, S_OLETTER),
+    (0x00CF3, 0x00CF3, S_EXTEND),
+    (0x00ECE, 0x00ECE, S_EXTEND),
+    (0x010D0, 0x010FA, S_OLETTER),
+    (0x010FC, 0x010FC, S_LOWER),
+    (0x010FD, 0x010FF, S_OLETTER),
+    (0x01735, 0x01736, S_STERM),
+    (0x017D4, 0x017D5, S_STERM),
+    (0x019DA, 0x019DA, S_NUMERIC),
+    (0x01AA8, 0x01AAB, S_STERM),
+    (0x01ACF, 0x01ADD, S_EXTEND),
+    (0x01AE0, 0x01AEB, S_EXTEND),
+    (0x01B4E, 0x01B4F, S_STERM),
+    (0x01B5A, 0x01B5B, S_STERM),
+    (0x01B5E, 0x01B5F, S_STERM),
+    (0x01B7D, 0x01B7F, S_STERM),
+    (0x01C3B, 0x01C3C, S_STERM),
+    (0x01C7E, 0x01C7F, S_STERM),
+    (0x01C89, 0x01C89, S_UPPER),
+    (0x01C8A, 0x01C8A, S_LOWER),
+    (0x01C90, 0x01CBA, S_OLETTER),
+    (0x01CBD, 0x01CBF, S_OLETTER),
+    (0x0200C, 0x0200C, S_EXTEND),
+    (0x02026, 0x02026, S_OTHER),
+    (0x0275B, 0x02760, S_CLOSE),
+    (0x02CF9, 0x02CFB, S_STERM),
+    (0x02E00, 0x02E01, S_CLOSE),
+    (0x02E06, 0x02E08, S_CLOSE),
+    (0x02E0B, 0x02E0B, S_CLOSE),
+    (0x02E53, 0x02E54, S_STERM),
+    (0x0A4FF, 0x0A4FF, S_STERM),
+    (0x0A60E, 0x0A60F, S_STERM),
+    (0x0A6F3, 0x0A6F3, S_STERM),
+    (0x0A6F7, 0x0A6F7, S_STERM),
+    (0x0A7CB, 0x0A7CC, S_UPPER),
+    (0x0A7CD, 0x0A7CD, S_LOWER),
+    (0x0A7CE, 0x0A7CE, S_UPPER),
+    (0x0A7CF, 0x0A7CF, S_LOWER),
+    (0x0A7D2, 0x0A7D2, S_UPPER),
+    (0x0A7D4, 0x0A7D4, S_UPPER),
+    (0x0A7DA, 0x0A7DA, S_UPPER),
+    (0x0A7DB, 0x0A7DB, S_LOWER),
+    (0x0A7DC, 0x0A7DC, S_UPPER),
+    (0x0A7F1, 0x0A7F4, S_LOWER),
+    (0x0A876, 0x0A877, S_STERM),
+    (0x0A8CE, 0x0A8CF, S_STERM),
+    (0x0A92F, 0x0A92F, S_STERM),
+    (0x0A9C8, 0x0A9C9, S_STERM),
+    (0x0AA5D, 0x0AA5F, S_STERM),
+    (0x0AAF0, 0x0AAF1, S_STERM),
+    (0x0AB69, 0x0AB69, S_LOWER),
+    (0x0ABEB, 0x0ABEB, S_STERM),
+    (0x0FE12, 0x0FE12, S_STERM),
+    (0x0FE14, 0x0FE14, S_SCONTINUE),
+    (0x0FE15, 0x0FE16, S_STERM),
+    (0x0FE54, 0x0FE54, S_SCONTINUE),
+    (0x0FF1B, 0x0FF1B, S_SCONTINUE),
+    (0x0FF9E, 0x0FF9F, S_EXTEND),
+    (0x105C0, 0x105F3, S_OLETTER),
+    (0x10940, 0x10959, S_OLETTER),
+    (0x10A56, 0x10A57, S_STERM),
+    (0x10D40, 0x10D49, S_NUMERIC),
+    (0x10D4A, 0x10D4F, S_OLETTER),
+    (0x10D50, 0x10D65, S_UPPER),
+    (0x10D69, 0x10D6D, S_EXTEND),
+    (0x10D6F, 0x10D6F, S_OLETTER),
+    (0x10D70, 0x10D85, S_LOWER),
+    (0x10EC2, 0x10EC7, S_OLETTER),
+    (0x10EFA, 0x10EFF, S_EXTEND),
+    (0x10F55, 0x10F59, S_STERM),
+    (0x10F86, 0x10F89, S_STERM),
+    (0x11047, 0x11048, S_STERM),
+    (0x110BD, 0x110BD, S_NUMERIC),
+    (0x110BE, 0x110C1, S_STERM),
+    (0x110CD, 0x110CD, S_NUMERIC),
+    (0x11141, 0x11143, S_STERM),
+    (0x111C5, 0x111C6, S_STERM),
+    (0x111CD, 0x111CD, S_STERM),
+    (0x111DE, 0x111DF, S_STERM),
+    (0x11238, 0x11239, S_STERM),
+    (0x1123B, 0x1123C, S_STERM),
+    (0x1123F, 0x11240, S_OLETTER),
+    (0x11241, 0x11241, S_EXTEND),
+    (0x112A9, 0x112A9, S_STERM),
+    (0x11380, 0x11389, S_OLETTER),
+    (0x1138B, 0x1138B, S_OLETTER),
+    (0x1138E, 0x1138E, S_OLETTER),
+    (0x11390, 0x113B5, S_OLETTER),
+    (0x113B7, 0x113B7, S_OLETTER),
+    (0x113B8, 0x113C0, S_EXTEND),
+    (0x113C2, 0x113C2, S_EXTEND),
+    (0x113C5, 0x113C5, S_EXTEND),
+    (0x113C7, 0x113CA, S_EXTEND),
+    (0x113CC, 0x113D0, S_EXTEND),
+    (0x113D1, 0x113D1, S_OLETTER),
+    (0x113D2, 0x113D2, S_EXTEND),
+    (0x113D3, 0x113D3, S_OLETTER),
+    (0x113D4, 0x113D5, S_STERM),
+    (0x113E1, 0x113E2, S_EXTEND),
+    (0x1144B, 0x1144C, S_STERM),
+    (0x115C2, 0x115C3, S_STERM),
+    (0x115C9, 0x115D7, S_STERM),
+    (0x11641, 0x11642, S_STERM),
+    (0x116D0, 0x116E3, S_NUMERIC),
+    (0x1173C, 0x1173E, S_STERM),
+    (0x11944, 0x11944, S_STERM),
+    (0x11946, 0x11946, S_STERM),
+    (0x11A42, 0x11A43, S_STERM),
+    (0x11A9B, 0x11A9C, S_STERM),
+    (0x11B60, 0x11B67, S_EXTEND),
+    (0x11BC0, 0x11BE0, S_OLETTER),
+    (0x11BF0, 0x11BF9, S_NUMERIC),
+    (0x11C41, 0x11C42, S_STERM),
+    (0x11DB0, 0x11DDB, S_OLETTER),
+    (0x11DE0, 0x11DE9, S_NUMERIC),
+    (0x11EF7, 0x11EF8, S_STERM),
+    (0x11F00, 0x11F01, S_EXTEND),
+    (0x11F02, 0x11F02, S_OLETTER),
+    (0x11F03, 0x11F03, S_EXTEND),
+    (0x11F04, 0x11F10, S_OLETTER),
+    (0x11F12, 0x11F33, S_OLETTER),
+    (0x11F34, 0x11F3A, S_EXTEND),
+    (0x11F3E, 0x11F42, S_EXTEND),
+    (0x11F43, 0x11F44, S_STERM),
+    (0x11F50, 0x11F59, S_NUMERIC),
+    (0x11F5A, 0x11F5A, S_EXTEND),
+    (0x1342F, 0x1342F, S_OLETTER),
+    (0x13439, 0x1343F, S_FORMAT),
+    (0x13440, 0x13440, S_EXTEND),
+    (0x13441, 0x13446, S_OLETTER),
+    (0x13447, 0x13455, S_EXTEND),
+    (0x13460, 0x143FA, S_OLETTER),
+    (0x16100, 0x1611D, S_OLETTER),
+    (0x1611E, 0x1612F, S_EXTEND),
+    (0x16130, 0x16139, S_NUMERIC),
+    (0x16A6E, 0x16A6F, S_STERM),
+    (0x16AF5, 0x16AF5, S_STERM),
+    (0x16B37, 0x16B38, S_STERM),
+    (0x16B44, 0x16B44, S_STERM),
+    (0x16D40, 0x16D6C, S_OLETTER),
+    (0x16D6E, 0x16D6F, S_STERM),
+    (0x16D70, 0x16D79, S_NUMERIC),
+    (0x16E98, 0x16E98, S_STERM),
+    (0x16EA0, 0x16EB8, S_UPPER),
+    (0x16EBB, 0x16ED3, S_LOWER),
+    (0x16FF2, 0x16FF6, S_OLETTER),
+    (0x187F8, 0x187FF, S_OLETTER),
+    (0x18CFF, 0x18CFF, S_OLETTER),
+    (0x18D09, 0x18D1E, S_OLETTER),
+    (0x18D80, 0x18DF2, S_OLETTER),
+    (0x1B132, 0x1B132, S_OLETTER),
+    (0x1B155, 0x1B155, S_OLETTER),
+    (0x1BC9F, 0x1BC9F, S_STERM),
+    (0x1CCF0, 0x1CCF9, S_NUMERIC),
+    (0x1DA88, 0x1DA88, S_STERM),
+    (0x1DF25, 0x1DF2A, S_LOWER),
+    (0x1E030, 0x1E06D, S_LOWER),
+    (0x1E08F, 0x1E08F, S_EXTEND),
+    (0x1E4D0, 0x1E4EB, S_OLETTER),
+    (0x1E4EC, 0x1E4EF, S_EXTEND),
+    (0x1E4F0, 0x1E4F9, S_NUMERIC),
+    (0x1E5D0, 0x1E5ED, S_OLETTER),
+    (0x1E5EE, 0x1E5EF, S_EXTEND),
+    (0x1E5F0, 0x1E5F0, S_OLETTER),
+    (0x1E5F1, 0x1E5FA, S_NUMERIC),
+    (0x1E6C0, 0x1E6DE, S_OLETTER),
+    (0x1E6E0, 0x1E6E2, S_OLETTER),
+    (0x1E6E3, 0x1E6E3, S_EXTEND),
+    (0x1E6E4, 0x1E6E5, S_OLETTER),
+    (0x1E6E6, 0x1E6E6, S_EXTEND),
+    (0x1E6E7, 0x1E6ED, S_OLETTER),
+    (0x1E6EE, 0x1E6EF, S_EXTEND),
+    (0x1E6F0, 0x1E6F4, S_OLETTER),
+    (0x1E6F5, 0x1E6F5, S_EXTEND),
+    (0x1E6FE, 0x1E6FF, S_OLETTER),
+    (0x1F676, 0x1F678, S_CLOSE),
+    (0x2B739, 0x2B73F, S_OLETTER),
+    (0x2CEA2, 0x2CEAD, S_OLETTER),
+    (0x2EBF0, 0x2EE5D, S_OLETTER),
+    (0x31350, 0x33479, S_OLETTER),
+    (0xE0020, 0xE007F, S_EXTEND),
+)
+_SB_STARTS = tuple(r[0] for r in _SB_OVERRIDE_RUNS)
+
+
+def _sb_override(cp: int):
+    import bisect
+
+    i = bisect.bisect_right(_SB_STARTS, cp) - 1
+    if i >= 0:
+        a, b, prop = _SB_OVERRIDE_RUNS[i]
+        if a <= cp <= b:
+            return prop
+    return None
+
+
 @lru_cache(maxsize=None)
 def sentence_break_property(cp: int) -> int:
     """Sentence_Break property (UAX-29 Table 4 partition, vendored
-    punctuation lists + unicodedata categories)."""
+    punctuation lists + unicodedata categories + the UCD-verified
+    override runs above)."""
+    ov = _sb_override(cp)
+    if ov is not None:
+        return ov
     if cp == 0x000D:
         return S_CR
     if cp == 0x000A:

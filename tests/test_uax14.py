@@ -117,3 +117,90 @@ def test_tiling_fuzz():
         segs = lb(t)
         assert "".join(segs) == t
         assert all(segs)
+
+
+def test_line_break_class_full_unicode_conformance():
+    """EVERY codepoint's LB1-resolved Line_Break class == the
+    reference's UCD-17-generated tables (utf8_linebreaks/tables.h:
+    palette descriptors + big ranges + page LUT + BMP trie + astral
+    ranges, decoded exactly as serial.h sz_rune_line_break_property).
+    Classes this engine does not model are folded to their LB1-style
+    defaults on the reference side (AK/AP/AS/CB -> AL, VF/VI -> CM,
+    HH -> BA).  Skipped when the reference checkout is absent."""
+    import os
+    import re
+
+    import pytest
+
+    path = "/root/reference/include/stringzilla/utf8_linebreaks/tables.h"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    src = open(path).read()
+
+    def arr(name, n):
+        m = re.search(re.escape(name) + r"_\[[0-9xA-Fa-f]*\] = \{(.*?)\};", src, re.S)
+        toks = re.findall(r"0x[0-9A-Fa-f]+|\d+", m.group(1))
+        v = [int(x, 16) if x.startswith("0x") else int(x) for x in toks]
+        assert len(v) == n
+        return v
+
+    palette = arr("sz_utf8_line_break_palette", 62)
+    big_lo = arr("sz_utf8_line_break_big_lo", 50)
+    big_hi = arr("sz_utf8_line_break_big_hi", 50)
+    big_idx = arr("sz_utf8_line_break_big_idx", 50)
+    page_lut = arr("sz_utf8_line_break_page_lut", 0x800)
+    trie_leaf = arr("sz_utf8_line_break_trie_leaf", 2248)
+    trie_l2 = arr("sz_utf8_line_break_trie_l2", 1168)
+    trie_l1 = arr("sz_utf8_line_break_trie_l1", 992)
+    astral_lo = arr("sz_utf8_line_break_astral_lo", 618)
+    astral_hi = arr("sz_utf8_line_break_astral_hi", 618)
+    astral_idx = arr("sz_utf8_line_break_astral_idx", 618)
+
+    def ref_desc(cp):
+        for i in range(50):
+            if big_lo[i] <= cp <= big_hi[i]:
+                return palette[big_idx[i]]
+        if cp < 0x800:
+            return palette[page_lut[cp]]
+        if cp < 0x10000:
+            off = cp - 0x800
+            block = off // 8
+            l1 = trie_l1[block // 8]
+            leaf = trie_l2[l1 * 8 + block % 8]
+            return palette[trie_leaf[leaf * 8 + off % 8]]
+        for i in range(618):
+            if astral_lo[i] <= cp <= astral_hi[i]:
+                return palette[astral_idx[i]]
+        return palette[0]
+
+    def ref_class_lb1(cp):
+        d = ref_desc(cp)
+        c = d & 0x3F
+        if c == 41:  # SA: CM when mark-flagged, else AL
+            return 4 if (d & (1 << 12)) else 29
+        if c in (0, 28, 6):  # XX/AI/SG -> AL
+            return 29
+        if c == 30:  # CJ -> NS
+            return 20
+        return c
+
+    from sz_spark import uax14 as m
+
+    mymap = {m.LB_AL: 29, m.LB_BK: 1, m.LB_CR: 2, m.LB_LF: 3, m.LB_NL: 5,
+             m.LB_SP: 10, m.LB_ZW: 8, m.LB_WJ: 7, m.LB_GL: 9, m.LB_CM: 4,
+             m.LB_ZWJ: 42, m.LB_B2: 11, m.LB_BA: 12, m.LB_BB: 13, m.LB_HY: 14,
+             m.LB_CL: 16, m.LB_CP: 17, m.LB_EX: 18, m.LB_IN: 19, m.LB_NS: 20,
+             m.LB_OP: 21, m.LB_QU: 22, m.LB_IS: 23, m.LB_NU: 24, m.LB_PO: 25,
+             m.LB_PR: 26, m.LB_SY: 27, m.LB_HL: 35, m.LB_ID: 36, m.LB_EB: 31,
+             m.LB_EM: 32, m.LB_RI: 40, m.LB_JL: 37, m.LB_JV: 38, m.LB_JT: 39,
+             m.LB_H2: 33, m.LB_H3: 34}
+    fold = {43: 29, 44: 29, 45: 29, 46: 4, 47: 4, 48: 12, 15: 29}
+    bad = []
+    for cp in range(0x110000):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue
+        ref = ref_class_lb1(cp)
+        ref = fold.get(ref, ref)
+        if mymap[m.line_break_class(cp)] != ref:
+            bad.append(cp)
+    assert not bad, f"{len(bad)} divergent codepoints, first: {[hex(c) for c in bad[:10]]}"

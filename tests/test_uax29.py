@@ -201,3 +201,52 @@ def test_word_break_property_full_unicode_conformance():
         and u.is_extended_pictographic(cp) != ref_pict(cp)
     ]
     assert not bad_p, f"{len(bad_p)} pictographic divergences"
+
+
+def test_sentence_break_property_full_unicode_conformance():
+    """EVERY codepoint's Sentence_Break property == the reference's
+    UCD-17-generated tables (utf8_sentences/tables.h: big-OLetter
+    ranges + page-compressed BMP flat + astral ranges).  Skipped when
+    the reference checkout is absent."""
+    import bisect
+    import os
+    import re
+
+    import pytest
+
+    path = "/root/reference/include/stringzilla/utf8_sentences/tables.h"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    src = open(path).read()
+
+    def arr(name, n):
+        m = re.search(name + r"_\[" + str(n) + r"\] = \{(.*?)\};", src, re.S)
+        toks = re.findall(r"0x[0-9A-Fa-f]+|\d+", m.group(1))
+        return [int(x, 16) if x.startswith("0x") else int(x) for x in toks]
+
+    page_lut, flat = arr("bmp_page_lut", 256), arr("flat_bmp", 14656)
+    alo, ahi, acls = arr("astral_lo", 550), arr("astral_hi", 550), arr("astral_cls", 550)
+    blo, bhi = arr("big_oletter_lo", 18), arr("big_oletter_hi", 18)
+
+    def ref_prop(cp):
+        i = bisect.bisect_right(blo, cp) - 1
+        if i >= 0 and blo[i] <= cp <= bhi[i]:
+            return 9
+        if cp < 0x10000:
+            return flat[page_lut[cp >> 8] * 256 + (cp & 0xFF)]
+        i = bisect.bisect_right(alo, cp) - 1
+        return acls[i] if i >= 0 and alo[i] <= cp <= ahi[i] else 0
+
+    import sz_spark.uax29 as u
+
+    to_ref = {u.S_OTHER: 0, u.S_CR: 1, u.S_LF: 2, u.S_SEP: 4, u.S_EXTEND: 3,
+              u.S_FORMAT: 5, u.S_SP: 6, u.S_LOWER: 7, u.S_UPPER: 8,
+              u.S_OLETTER: 9, u.S_NUMERIC: 10, u.S_ATERM: 11, u.S_STERM: 13,
+              u.S_CLOSE: 14, u.S_SCONTINUE: 12}
+    bad = [
+        cp
+        for cp in range(0x110000)
+        if not (0xD800 <= cp <= 0xDFFF)
+        and to_ref[u.sentence_break_property(cp)] != ref_prop(cp)
+    ]
+    assert not bad, f"{len(bad)} divergent codepoints, first: {[hex(c) for c in bad[:10]]}"
