@@ -514,6 +514,7 @@ def str_segmentation_ops(spark, sf):
     utf8_whitespaces / utf8_delimiters return the runs themselves, not
     the fragments between them)."""
     from sz_spark.udfs import (
+        grapheme_count_udf,
         linebreak_opps_udf,
         utf8_sentences_udf,
         utf8_wordbreaks_udf,
@@ -545,6 +546,7 @@ def str_segmentation_ops(spark, sf):
         F.size(F.split(u_ws, ws_cls)).alias("n_parts"),
         F.element_at(F.split(u_ws, ws_cls), -1).alias("last_part"),
         F.regexp_count(u_g, F.lit(r"\X")).alias("n_graphemes"),
+        grapheme_count_udf(u_g).alias("n_graphemes_engine"),
         F.length(u_g).alias("n_graph_cps"),
         F.size(segs).alias("n_sentences"),
         F.try_element_at(segs, F.lit(1)).alias("first_sentence"),
@@ -574,6 +576,7 @@ SELECT doc_id,
        len(string_split_regex(ws, '[ ' || chr(160) || chr(12288) || chr(8232) || chr(9) || ']+')) AS n_parts,
        list_extract(string_split_regex(ws, '[ ' || chr(160) || chr(12288) || chr(8232) || chr(9) || ']+'), -1) AS last_part,
        length(nfc_normalize(g)) AS n_graphemes,
+       CAST(length(nfc_normalize(g)) AS INT) AS n_graphemes_engine,
        length(g) AS n_graph_cps,
        len(string_split_regex(rtrim(s, ' '), '(\\.|!|\\?)( )+')) AS n_sentences,
        string_split_regex(s, '(?:\\.|!|\\?)( )+')[1] || '. ' AS first_sentence,

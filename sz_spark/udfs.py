@@ -328,3 +328,17 @@ def linebreak_opps_udf(texts: pd.Series) -> pd.Series:
     return texts.map(
         lambda s: 0 if s is None else len(linebreak_opportunities(str(s)))
     ).astype("int32")
+
+
+@pandas_udf(T.IntegerType())
+def grapheme_count_udf(texts: pd.Series) -> pd.Series:
+    """Extended-grapheme-cluster count from the in-repo GB1-GB999 engine
+    (sz_spark.uax29_graphemes — UCD-conformant property tables, GB9c
+    Indic conjuncts, GB11 emoji ZWJ), driver-checked against the Java
+    \\X column and the NFC-composition oracle on the synthesized
+    column where all three provably agree."""
+    from sz_spark.uax29_graphemes import grapheme_segments
+
+    return texts.map(
+        lambda s: 0 if s is None else len(grapheme_segments(str(s)))
+    ).astype("int32")
