@@ -102,8 +102,11 @@ def minhash_bands(
     # lands in a handful of partitions and the fingerprint UDF — whose
     # CPU cost per byte the optimizer cannot see — would run nearly
     # serial.  Spread docs across the cluster before entering Python.
+    # 4x cores: per-doc fingerprint cost varies with length, so a
+    # single-wave split leaves cores idle behind the longest partition;
+    # four waves of smaller chunks keep the tail short.
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(2 * parallelism)
+    docs = docs.repartition(4 * parallelism)
     bands = docs.select(
         F.col(id_col), keys(F.col(text_col)).alias("bk")
     ).select(

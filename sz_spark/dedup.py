@@ -91,6 +91,13 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # own the persist lifecycle: materialize the (tiny) pair output NOW,
+    # then release the O(total tokens) shingle table — without this the
+    # DISK_ONLY blocks live for the rest of the session and every later
+    # query in a shared bench/driver session pays for them (ADVICE r3).
+    # The returned frame is the checkpointed result, free to compose.
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 

@@ -841,8 +841,13 @@ def er_minhash_bands(spark, sf):
 
 
 def _md5_band_pairs(docs: DataFrame) -> DataFrame:
-    # cached: the long band table is both sides of the self-join, and
-    # recomputing it means re-min-hashing every shingle twice
+    # deliberately NOT cached: an r4 A/B at sf0.1 measured the warm gain
+    # at ~1s against a 2x COLD penalty (InMemoryRelation build) — and a
+    # never-unpersisted cache leaks storage into every later query of a
+    # shared session (the r3 driver bench's 70s er_pair_scores_lev
+    # suspect).  Recomputing the md5 band table for the self-join's
+    # second side is cheap JVM work; every registered query is now
+    # storage-residue-free by construction (test_cache_lifecycle).
     bands = blocking.shingle_minhash_bands(docs)
     long = bands.select(
         "conv_id",
@@ -854,7 +859,7 @@ def _md5_band_pairs(docs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("conv_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh")).cache()
+    ).select("conv_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh"))
     a, b = long.alias("a"), long.alias("b")
     return (
         a.join(b, ["band_id", "bh"])
@@ -1276,7 +1281,7 @@ def dedup_minhash_lsh(spark, sf):
                 ]
             )
         ).alias("b"),
-    ).select("conv_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh")).cache()
+    ).select("conv_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh"))
     a, b = long.alias("a"), long.alias("b")
     return (
         a.join(b, ["band_id", "bh"])

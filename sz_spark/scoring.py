@@ -111,8 +111,11 @@ def score_pairs(
     # partitions, which would serialize the pandas-UDF DP — its CPU cost
     # is invisible to the optimizer.  Spread the batch explicitly across
     # the cluster before entering Python.
+    # 4x cores: DP cost per pair is wildly uneven (text length squared /
+    # salt family), so four waves of smaller chunks beat one balanced-by-
+    # row-count wave whose longest partition strands the rest of the pool
     parallelism = pairs_with_texts.sparkSession.sparkContext.defaultParallelism
-    pairs_with_texts = pairs_with_texts.repartition(2 * parallelism)
+    pairs_with_texts = pairs_with_texts.repartition(4 * parallelism)
     out = pairs_with_texts.withColumn(
         "edit_distance", lev(F.col("doc_a"), F.col("doc_b"))
     ).withColumn(
