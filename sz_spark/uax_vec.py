@@ -1,0 +1,817 @@
+"""Vectorized (table-driven NumPy) UAX-29 / UAX-14 segmentation engines.
+
+The scalar engines (sz_spark.uax29 / uax14 / uax29_graphemes — direct
+per-codepoint transcriptions of the reference's serial kernels,
+utf8_wordbreaks/serial.h, utf8_sentences/serial.h:184-255,
+utf8_linebreaks/serial.h, utf8_graphemes/serial.h:105-205) are
+correctness-gold but interpret one Python step per codepoint.  This
+module re-expresses each rule chain as whole-array NumPy over an entire
+Arrow batch at once:
+
+* property lookup: ``PROPS[searchsorted(STARTS, cps, 'right') - 1]``
+  over the generated full-coverage run tables (sz_spark.uax_tables_gen);
+* WB4/SB5/LB9 ignorable folding and every bounded lookback/lookahead
+  (prev element base, next element base, last non-SP cluster) as
+  ``maximum.accumulate`` / reversed-``minimum.accumulate`` index maps;
+* Regional_Indicator pair parity (WB15/16, GB12/13, LB30a) as
+  run-length-from-last-non-RI arithmetic;
+* the rule chains as a first-match-wins cascade over an undecided mask,
+  in exactly the scalar engines' rule order.
+
+Batch trick: the texts of a batch are joined with a single LF
+(U+000A) separator and segmented in ONE pass.  LF is a hard barrier in
+all four annexes — Newline in WB (WB3a/3b), ParaSep in SB (SB4), BK-
+family in LB (LB4-LB6, and in the LB9 non-absorbing set), Control in GB
+(GB4/5) — and no lookback or lookahead rule scans past it, so interior
+decisions are provably identical to segmenting each text alone.  The
+one divergence (SB treats "only ignorables to the left" as attach,
+which an LF would turn into ParaSep-break) is masked explicitly with
+per-position text-start indices.
+
+Differential guarantee: tests/test_uax_vec.py sweeps every engine
+against its scalar twin over the conformance corpora, the planted rule
+fixtures, and class-biased random fuzz; the property tables are swept
+against the scalar classifiers at 100% of all 0x110000 codepoints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sz_spark import uax_tables_gen as _T
+from sz_spark import uax14 as _L
+from sz_spark import uax29 as _W
+from sz_spark import uax29_graphemes as _G
+
+# --- property lookup tables -------------------------------------------------
+
+_WB_STARTS = np.asarray(_T.WB_STARTS, dtype=np.int64)
+_WB_PROPS = np.asarray(_T.WB_PROPS, dtype=np.int8)
+_SB_STARTS = np.asarray(_T.SB_STARTS, dtype=np.int64)
+_SB_PROPS = np.asarray(_T.SB_PROPS, dtype=np.int8)
+_LB_STARTS = np.asarray(_T.LB_STARTS, dtype=np.int64)
+_LB_PROPS = np.asarray(_T.LB_PROPS, dtype=np.int8)
+_GCB_STARTS = np.asarray(_T.GCB_STARTS, dtype=np.int64)
+_GCB_PROPS = np.asarray(_T.GCB_PROPS, dtype=np.int8)
+_INCB_STARTS = np.asarray(_T.INCB_STARTS, dtype=np.int64)
+_INCB_PROPS = np.asarray(_T.INCB_PROPS, dtype=np.int8)
+_EP_STARTS = np.asarray(_T.EXTPICT_STARTS, dtype=np.int64)
+_EP_PROPS = np.asarray(_T.EXTPICT_PROPS, dtype=np.int8)
+
+
+def _bmp_lut(starts: np.ndarray, props: np.ndarray) -> np.ndarray:
+    """Direct-index table for the BMP (64 KiB, cache-resident): property
+    lookup becomes one gather instead of a binary search per codepoint."""
+    cut = int(np.searchsorted(starts, 0x10000, side="right"))
+    s = starts[:cut]
+    reps = np.diff(np.concatenate([s, [0x10000]]))
+    return np.repeat(props[:cut], reps)
+
+
+def _lookup(starts: np.ndarray, props: np.ndarray, cps: np.ndarray,
+            bmp: np.ndarray | None = None) -> np.ndarray:
+    if bmp is None:
+        return props[np.searchsorted(starts, cps, side="right") - 1]
+    astral = cps >= 0x10000
+    out = bmp[np.where(astral, 0, cps)]
+    if astral.any():
+        sub = cps[astral]
+        out[astral] = props[np.searchsorted(starts, sub, side="right") - 1]
+    return out
+
+
+_WB_BMP = _bmp_lut(_WB_STARTS, _WB_PROPS)
+_SB_BMP = _bmp_lut(_SB_STARTS, _SB_PROPS)
+_LB_BMP = _bmp_lut(_LB_STARTS, _LB_PROPS)
+_GCB_BMP = _bmp_lut(_GCB_STARTS, _GCB_PROPS)
+_INCB_BMP = _bmp_lut(_INCB_STARTS, _INCB_PROPS)
+_EP_BMP = _bmp_lut(_EP_STARTS, _EP_PROPS)
+
+
+def wb_props(cps):
+    return _lookup(_WB_STARTS, _WB_PROPS, cps, _WB_BMP)
+
+
+def sb_props(cps):
+    return _lookup(_SB_STARTS, _SB_PROPS, cps, _SB_BMP)
+
+
+def lb_classes(cps):
+    return _lookup(_LB_STARTS, _LB_PROPS, cps, _LB_BMP)
+
+
+def gcb_props(cps):
+    return _lookup(_GCB_STARTS, _GCB_PROPS, cps, _GCB_BMP)
+
+
+def incb_props(cps):
+    return _lookup(_INCB_STARTS, _INCB_PROPS, cps, _INCB_BMP)
+
+
+def extpict(cps):
+    return _lookup(_EP_STARTS, _EP_PROPS, cps, _EP_BMP).astype(bool)
+
+
+# --- small class-code LUTs (indexed by property code) -----------------------
+
+
+def _lut(size, members):
+    a = np.zeros(size, dtype=bool)
+    for mbr in members:
+        a[mbr] = True
+    return a
+
+
+_WB_IGN = _lut(18, (_W.EXTEND, _W.FORMAT, _W.ZWJ))
+_WB_NEWL = _lut(18, (_W.CR, _W.LF, _W.NEWLINE))
+_WB_AH = _lut(18, (_W.ALETTER, _W.HEBREW))
+_WB_MIDNLQ = _lut(18, (_W.MIDNUMLET, _W.SINGLE_QUOTE))
+_WSEG_ARR = np.asarray(sorted(_W._WSEGSPACE_CPS), dtype=np.int64)
+
+_SB_IGN = _lut(15, (_W.S_EXTEND, _W.S_FORMAT))
+_SB_PARA = _lut(15, (_W.S_SEP, _W.S_CR, _W.S_LF))
+_SB_BLOCK = _lut(15, _W._SB8_BLOCKERS)
+
+_LB_NONABS = _lut(37, (_L.LB_BK, _L.LB_CR, _L.LB_LF, _L.LB_NL, _L.LB_SP, _L.LB_ZW))
+_LB_MAND = _lut(37, (_L.LB_BK, _L.LB_CR, _L.LB_LF, _L.LB_NL))
+_LB_ATTACH = _lut(37, (_L.LB_CM, _L.LB_ZWJ))
+_LB13_SET = _lut(37, (_L.LB_CL, _L.LB_CP, _L.LB_EX, _L.LB_IS, _L.LB_SY))
+_LB_IDEM = _lut(37, (_L.LB_ID, _L.LB_EB, _L.LB_EM))
+_LB_ALHL = _lut(37, (_L.LB_AL, _L.LB_HL))
+_LB25_TBL = np.zeros((37, 37), dtype=bool)
+for _b, _a in _L._LB25_NO_BREAK_PAIRS:
+    _LB25_TBL[_b, _a] = True
+
+
+# --- cascade helper ---------------------------------------------------------
+
+
+def _rule(dec: np.ndarray, mask, value: int) -> None:
+    """First-match-wins: set `value` where `mask` holds and no earlier
+    rule decided."""
+    m = mask & (dec == -1)
+    dec[m] = value
+
+
+def _last_le(cond: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """last_le[i] = largest j <= i with cond[j], else -1."""
+    return np.maximum.accumulate(np.where(cond, idx, -1))
+
+
+def _next_ge(cond: np.ndarray, idx: np.ndarray, n: int) -> np.ndarray:
+    """next_ge[i] = smallest j >= i with cond[j], else n."""
+    return np.minimum.accumulate(np.where(cond, idx, n)[::-1])[::-1]
+
+
+def _run_ending_incl(is_x: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Length of the consecutive is_x run ending at i (inclusive); 0 at
+    non-x positions."""
+    return idx - _last_le(~is_x, idx)
+
+
+# --- WORD boundaries (WB1-WB16) --------------------------------------------
+
+# ctx codes for the folded-pair action table
+_C6, _C7, _C7B, _C7C, _C11, _C12, _CRI = 10, 11, 12, 13, 14, 15, 16
+
+
+def _build_wb_pair_tables():
+    """Bake the post-WB4 rule chain (the scalar order of
+    uax29.is_word_boundary after the left fold) into (ACTION, DEFAULT)
+    tables over (left-base-prop, right-prop): ACTION is 1=break,
+    0=no-break, or a context-rule code; DEFAULT is the outcome when
+    that context rule's condition fails (the rest of the chain walked
+    to its first terminal match)."""
+    ah = set((_W.ALETTER, _W.HEBREW))
+    midnlq = set((_W.MIDNUMLET, _W.SINGLE_QUOTE))
+    newl = set((_W.CR, _W.LF, _W.NEWLINE))
+
+    def chain(p, q):
+        """Yield (kind, value) decisions in scalar-rule order:
+        kind 'T' terminal (value 0/1), kind 'C' context (value = code)."""
+        if p in newl:
+            yield "T", 1  # de-ignored after newline
+        if p in ah and q in ah:
+            yield "T", 0  # WB5
+        if p in ah and (q == _W.MIDLETTER or q in midnlq):
+            yield "C", _C6  # WB6: next base AHLetter
+        if (p == _W.MIDLETTER or p in midnlq) and q in ah:
+            yield "C", _C7  # WB7: prev-prev base AHLetter
+        if p == _W.HEBREW and q == _W.SINGLE_QUOTE:
+            yield "T", 0  # WB7a
+        if p == _W.HEBREW and q == _W.DOUBLE_QUOTE:
+            yield "C", _C7B  # WB7b: next base Hebrew
+        if p == _W.DOUBLE_QUOTE and q == _W.HEBREW:
+            yield "C", _C7C  # WB7c: prev-prev base Hebrew
+        if p == _W.NUMERIC and q == _W.NUMERIC:
+            yield "T", 0  # WB8
+        if p in ah and q == _W.NUMERIC:
+            yield "T", 0  # WB9
+        if p == _W.NUMERIC and q in ah:
+            yield "T", 0  # WB10
+        if (p == _W.MIDNUM or p in midnlq) and q == _W.NUMERIC:
+            yield "C", _C11  # WB11: prev-prev base Numeric
+        if p == _W.NUMERIC and (q == _W.MIDNUM or q in midnlq):
+            yield "C", _C12  # WB12: next base Numeric
+        if p == _W.KATAKANA and q == _W.KATAKANA:
+            yield "T", 0  # WB13
+        if (p in ah or p in (_W.NUMERIC, _W.KATAKANA, _W.EXTENDNUMLET)) and q == _W.EXTENDNUMLET:
+            yield "T", 0  # WB13a
+        if p == _W.EXTENDNUMLET and (q in ah or q in (_W.NUMERIC, _W.KATAKANA)):
+            yield "T", 0  # WB13b
+        if p == _W.RI and q == _W.RI:
+            yield "C", _CRI  # WB15/16: RI pair parity
+        yield "T", 1  # WB999
+
+    act = np.full((18, 18), 1, dtype=np.int8)
+    dft = np.full((18, 18), 1, dtype=np.int8)
+    for p in range(18):
+        for q in range(18):
+            decisions = list(chain(p, q))
+            first = decisions[0]
+            if first[0] == "T":
+                act[p, q] = dft[p, q] = first[1]
+                continue
+            act[p, q] = first[1]
+            # outcome when the context condition fails: next decision
+            nxt = decisions[1]
+            assert nxt[0] == "T", f"double context rule at pair ({p},{q})"
+            dft[p, q] = nxt[1]
+    return act, dft
+
+
+_WB_ACT, _WB_DFT = _build_wb_pair_tables()
+_WSEG_BMP = np.zeros(0x10000, dtype=bool)
+_WSEG_BMP[list(_W._WSEGSPACE_CPS)] = True
+
+
+def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) -> np.ndarray:
+    """bool[i] = word boundary exists before codepoint index i.
+    Vectorized twin of uax29.is_word_boundary (WB1-WB16): raw rules
+    WB3-WB4 as masks, the left fold as one maximum.accumulate, then the
+    whole post-fold chain as a single (jp, Q) pair-table gather with the
+    six lookahead/lookback rules and RI parity resolved lazily on the
+    (rare) positions whose table action is a context code."""
+    n = len(cps)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    props = wb_props(cps)
+    ign = _WB_IGN[props]
+    idx = np.arange(n)
+
+    dec = np.full(n, -1, dtype=np.int8)
+    dec[0] = 1  # WB1
+    d = dec[1:]
+    P, Q = props[:-1], props[1:]
+
+    _rule(d, (P == _W.CR) & (Q == _W.LF), 0)  # WB3
+    _rule(d, _WB_NEWL[P], 1)  # WB3a
+    _rule(d, _WB_NEWL[Q], 1)  # WB3b
+    zwj_left = (P == _W.ZWJ) & (d == -1)
+    if zwj_left.any():  # WB3c (raw adjacency, lazy ExtPict gather)
+        sub = np.flatnonzero(zwj_left)
+        ep_sub = extpict(cps[1:][sub])
+        d[sub[ep_sub]] = 0
+    wseg = _WSEG_BMP[np.minimum(cps, 0xFFFF)]  # astral cps are never WSegSpace
+    _rule(d, wseg[:-1] & wseg[1:], 0)  # WB3d
+    _rule(d, _WB_IGN[Q], 0)  # WB4: ignorables attach left
+
+    lb_at = _last_le(~ign, idx)
+    jarr = lb_at[:-1]  # left element base for boundary-before-i
+    _rule(d, jarr < 0, 1)  # sot + ignorables
+    jp = props[np.maximum(jarr, 0)]
+
+    undec = d == -1
+    acts = np.where(undec, _WB_ACT[jp, Q], -1)
+    d[acts == 0] = 0
+    d[acts == 1] = 1
+
+    ctx = acts >= 10
+    if ctx.any():
+        # lookahead: next element base at/after i+1
+        need_k = ctx & ((acts == _C6) | (acts == _C7B) | (acts == _C12))
+        if need_k.any():
+            nb_at = _next_ge(~ign, idx, n)
+            nb_ext = np.concatenate([nb_at, [n]])
+            karr = nb_ext[2:]
+            kp = np.where(karr < n, props[np.minimum(karr, n - 1)], _W.OTHER)
+        # lookback: element base before the left base
+        need_j2 = ctx & ((acts == _C7) | (acts == _C7C) | (acts == _C11))
+        if need_j2.any():
+            j2 = np.where(jarr >= 1, lb_at[np.maximum(jarr - 1, 0)], -1)
+            j2p = np.where(j2 >= 0, props[np.maximum(j2, 0)], _W.OTHER)
+        for code, cond in (
+            (_C6, (lambda: _WB_AH[kp])),
+            (_C7B, (lambda: kp == _W.HEBREW)),
+            (_C12, (lambda: kp == _W.NUMERIC)),
+            (_C7, (lambda: _WB_AH[j2p])),
+            (_C7C, (lambda: j2p == _W.HEBREW)),
+            (_C11, (lambda: j2p == _W.NUMERIC)),
+        ):
+            m_ = acts == code
+            if m_.any():
+                ok = m_ & cond()
+                d[ok] = 0
+                d[m_ & ~ok] = _WB_DFT[jp[m_ & ~ok], Q[m_ & ~ok]]
+        m_ = acts == _CRI
+        if m_.any():  # WB15/16: pair up RIs left-to-right (element parity)
+            ranks = np.cumsum(~ign) - 1
+            el_props = props[np.flatnonzero(~ign)]
+            mlen = len(el_props)
+            ri_run_incl = _run_ending_incl(el_props == _W.RI, np.arange(mlen))
+            rj = np.clip(ranks[np.maximum(jarr, 0)], 0, max(mlen - 1, 0))
+            even = m_ & ((ri_run_incl[rj] - 1) % 2 == 0)
+            d[even] = 0
+            d[m_ & ~even] = 1
+    d[d == -1] = 1  # WB999
+    return dec == 1
+
+
+# --- SENTENCE boundaries (SB1-SB11) ----------------------------------------
+
+
+def sentence_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) -> np.ndarray:
+    """bool[i] = sentence boundary before index i — vectorized twin of
+    uax29.is_sentence_boundary (SB1-SB11).  ``text_start_of[i]`` is the
+    batch index where position i's text begins (0s when segmenting a
+    single text): lookbacks landing before it replicate the scalar
+    engine's out-of-text (j < 0) semantics."""
+    n = len(cps)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    text_start_of = _expand_tso(text_start_of)
+    if text_start_of is None:
+        text_start_of = np.zeros(n, dtype=np.int64)
+    props = sb_props(cps)
+    idx = np.arange(n)
+    ign = _SB_IGN[props]
+    lb_at = _last_le(~ign, idx)
+
+    dec = np.full(n, -1, dtype=np.int8)
+    dec[0] = 1  # SB1
+    d = dec[1:]
+    P, Q = props[:-1], props[1:]
+
+    _rule(d, (P == _W.S_CR) & (Q == _W.S_LF), 0)  # SB3
+    _rule(d, _SB_PARA[P], 1)  # SB4
+    _rule(d, _SB_IGN[Q], 0)  # SB5
+
+    jarr = lb_at[:-1]
+    s_i = text_start_of[1:]
+    j_oob = jarr < s_i  # includes jarr < 0
+    _rule(d, j_oob, 0)  # only ignorables precede in-text: attach
+    jp = props[np.maximum(jarr, 0)]
+    _rule(d, _SB_PARA[jp], 1)  # de-ignored after ParaSep
+    _rule(d, (jp == _W.S_ATERM) & (Q == _W.S_NUMERIC), 0)  # SB6
+
+    j2 = np.where(jarr >= 1, lb_at[np.maximum(jarr - 1, 0)], -1)
+    j2_ok = (j2 >= 0) & (j2 >= s_i)
+    j2p = np.where(j2_ok, props[np.maximum(j2, 0)], _W.S_OTHER)
+    _rule(d, (jp == _W.S_ATERM) & (Q == _W.S_UPPER)
+          & ((j2p == _W.S_UPPER) | (j2p == _W.S_LOWER)), 0)  # SB7
+
+    # Fast path: a batch with no SATerm at all decides every remaining
+    # position at SB998 (no terminator behind) — skip the element walk,
+    # the forward scan and the tail rules entirely.
+    if not np.any((props == _W.S_ATERM) | (props == _W.S_STERM)):
+        d[d == -1] = 0
+        return dec == 1
+
+    # left pattern SATerm Close* Sp* (element-sequence walk, SB5-folded)
+    el_pos = np.flatnonzero(~ign)
+    m = len(el_pos)
+    if m:
+        el_cls = props[el_pos]
+        e_idx = np.arange(m)
+        is_sp = el_cls == _W.S_SP
+        is_cl = el_cls == _W.S_CLOSE
+        last_nonsp = _last_le(~is_sp, e_idx)
+        last_noncl = _last_le(~is_cl, e_idx)
+        e1 = np.where(is_sp, last_nonsp, e_idx)  # skip Sp* ending at e
+        e1c = np.maximum(e1, 0)
+        k2 = np.where(e1 >= 0, np.where(is_cl[e1c], last_noncl[e1c], e1), -1)
+        k2_cls = np.where(k2 >= 0, el_cls[np.maximum(k2, 0)], _W.S_OTHER)
+        ranks = np.cumsum(~ign) - 1
+        rj = np.clip(ranks[np.maximum(jarr, 0)], 0, m - 1)
+        k2_cls_i = k2_cls[rj]
+        sp_seen = is_sp[rj]
+    else:  # all-ignorable batch: every position already decided above
+        k2_cls_i = np.full(n - 1, _W.S_OTHER, dtype=np.int64)
+        sp_seen = np.zeros(n - 1, dtype=bool)
+    saterm_behind = (k2_cls_i == _W.S_ATERM) | (k2_cls_i == _W.S_STERM)
+    _rule(d, ~saterm_behind, 0)  # SB998: no terminator behind
+
+    # SB8: ATerm Close* Sp* x (non-blocker)* Lower — raw forward scan
+    nxtb = _next_ge(_SB_BLOCK[props], idx, n)
+    barr = nxtb[1:]
+    b_ok = barr < n
+    bcls = np.where(b_ok, props[np.minimum(barr, n - 1)], _W.S_OTHER)
+    _rule(d, (k2_cls_i == _W.S_ATERM) & (bcls == _W.S_LOWER), 0)  # SB8
+    _rule(d, (Q == _W.S_SCONTINUE) | (Q == _W.S_ATERM) | (Q == _W.S_STERM), 0)  # SB8a
+    _rule(d, (~sp_seen) & (Q == _W.S_CLOSE), 0)  # SB9
+    _rule(d, (Q == _W.S_SP) | _SB_PARA[Q], 0)  # SB9/SB10
+    d[d == -1] = 1  # SB11
+    return dec == 1
+
+
+# --- GRAPHEME boundaries (GB1-GB999) ---------------------------------------
+
+
+def _build_gb_pair_table() -> np.ndarray:
+    """GB3-GB9b as one (B, A) table: 0 no-break, 1 break, 2 undecided
+    (falls through to the GB9c/GB11/GB12 context rules, then GB999)."""
+    t = np.full((14, 14), 2, dtype=np.int8)
+    ctl = (_G.G_CONTROL, _G.G_CR, _G.G_LF)
+    for b in range(14):
+        for a in range(14):
+            if b == _G.G_CR and a == _G.G_LF:
+                t[b, a] = 0  # GB3
+            elif b in ctl:
+                t[b, a] = 1  # GB4
+            elif a in ctl:
+                t[b, a] = 1  # GB5
+            elif b == _G.G_L and a in (_G.G_L, _G.G_V, _G.G_LV, _G.G_LVT):
+                t[b, a] = 0  # GB6
+            elif b in (_G.G_LV, _G.G_V) and a in (_G.G_V, _G.G_T):
+                t[b, a] = 0  # GB7
+            elif b in (_G.G_LVT, _G.G_T) and a == _G.G_T:
+                t[b, a] = 0  # GB8
+            elif a in (_G.G_EXTEND, _G.G_ZWJ):
+                t[b, a] = 0  # GB9
+            elif a == _G.G_SPACINGMARK:
+                t[b, a] = 0  # GB9a
+            elif b == _G.G_PREPEND:
+                t[b, a] = 0  # GB9b
+    return t
+
+
+_GB_PAIR = _build_gb_pair_table()
+
+
+def grapheme_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) -> np.ndarray:
+    """bool[i] = extended-grapheme-cluster boundary before index i —
+    vectorized twin of uax29_graphemes._is_boundary.  GB3-GB9b are one
+    pair-table gather; GB9c/GB11/GB12 run lazily only when their trigger
+    classes exist in the batch."""
+    n = len(cps)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    props = gcb_props(cps)
+    B, A = props[:-1], props[1:]
+
+    dec = _GB_PAIR[B, A].copy()  # 0/1/2(undecided)
+
+    undec = dec == 2
+    if undec.any():
+        idx = np.arange(n)
+        # GB9c — only if a Linker exists (InCB lookup is one BMP gather)
+        incb = incb_props(cps)
+        if np.any(incb == _G.INCB_LINKER):
+            le = (incb == _G.INCB_LINKER) | (incb == _G.INCB_EXTEND)
+            last_non_le = _last_le(~le, idx)
+            lcs = np.cumsum(incb == _G.INCB_LINKER)
+            jg = last_non_le[:-1]
+            lin_between = lcs[:-1] - np.where(jg >= 0, lcs[np.maximum(jg, 0)], 0)
+            gb9c = undec & (incb[1:] == _G.INCB_CONSONANT) & (jg >= 0) \
+                & (incb[np.maximum(jg, 0)] == _G.INCB_CONSONANT) & (lin_between > 0)
+            dec[gb9c] = 0
+            undec = dec == 2
+        # GB11 — only if a ZWJ survives to this stage
+        zwj_left = undec & (B == _G.G_ZWJ)
+        if zwj_left.any():
+            ep = extpict(cps)
+            last_nonext = _last_le(props != _G.G_EXTEND, idx)
+            j11 = np.full(n - 1, -1, dtype=np.int64)
+            if n >= 2:
+                j11[1:] = last_nonext[:-2]
+            gb11 = zwj_left & ep[1:] & (j11 >= 0) & ep[np.maximum(j11, 0)]
+            dec[gb11] = 0
+            undec = dec == 2
+        # GB12/13 — only for adjacent RI pairs
+        ri_pair = undec & (B == _G.G_RI) & (A == _G.G_RI)
+        if ri_pair.any():
+            ri_run_incl = _run_ending_incl(props == _G.G_RI, idx)
+            dec[ri_pair & (ri_run_incl[:-1] % 2 == 1)] = 0
+            undec = dec == 2
+        dec[undec] = 1  # GB999
+
+    out = np.empty(n, dtype=bool)
+    out[0] = True  # GB1
+    out[1:] = dec == 1
+    return out
+
+
+# --- LINE-BREAK opportunities (LB1-LB31) -----------------------------------
+
+
+_LCSP, _LC21A, _LCRI = 10, 11, 12  # ctx codes for the LB pair table
+
+
+def _build_lb_pair_tables():
+    """Bake the LB4-LB31 cluster chain (scalar order of
+    uax14._break_allowed) into (ACTION, DEFAULT) tables over the
+    (B, A) = (classes[k-1], classes[k]) cluster pair: ACTION 1=break,
+    0=no-break, _LCSP = space-left context (LB8/LB11/LB13-LB18 via the
+    nearest non-SP cluster), _LC21A = LB21a lookback, _LCRI = LB30a
+    parity; DEFAULT is the chain outcome when the context fails."""
+    L = _L
+    mand = (L.LB_BK, L.LB_CR, L.LB_LF, L.LB_NL)
+    alhl = (L.LB_AL, L.LB_HL)
+    idem = (L.LB_ID, L.LB_EB, L.LB_EM)
+    jk = (L.LB_JL, L.LB_JV, L.LB_JT, L.LB_H2, L.LB_H3)
+
+    def chain(b, a):
+        if b == L.LB_BK:
+            yield "T", 1  # LB4
+        if b == L.LB_CR and a == L.LB_LF:
+            yield "T", 0  # LB5
+        if b in (L.LB_CR, L.LB_LF, L.LB_NL):
+            yield "T", 1  # LB5
+        if a in mand:
+            yield "T", 0  # LB6
+        if a in (L.LB_SP, L.LB_ZW):
+            yield "T", 0  # LB7
+        if b == L.LB_SP:
+            yield "C", _LCSP  # LB8/LB11/LB13-LB18 need the left walk
+        if b == L.LB_ZW:
+            yield "T", 1  # LB8 (B != SP: nearest non-SP IS b)
+        if b == L.LB_WJ or a == L.LB_WJ:
+            yield "T", 0  # LB11
+        if b == L.LB_GL:
+            yield "T", 0  # LB12
+        if b not in (L.LB_SP, L.LB_BA, L.LB_HY) and a == L.LB_GL:
+            yield "T", 0  # LB12a
+        if a in (L.LB_CL, L.LB_CP, L.LB_EX, L.LB_IS, L.LB_SY):
+            yield "T", 0  # LB13
+        if b == L.LB_OP:
+            yield "T", 0  # LB14 (nsc == b when b != SP)
+        if b == L.LB_QU and a == L.LB_OP:
+            yield "T", 0  # LB15 (classic)
+        if b in (L.LB_CL, L.LB_CP) and a == L.LB_NS:
+            yield "T", 0  # LB16
+        if b == L.LB_B2 and a == L.LB_B2:
+            yield "T", 0  # LB17
+        if a == L.LB_QU or b == L.LB_QU:
+            yield "T", 0  # LB19
+        if a in (L.LB_BA, L.LB_HY, L.LB_NS):
+            yield "T", 0  # LB21
+        if b == L.LB_BB:
+            yield "T", 0  # LB21
+        if b in (L.LB_HY, L.LB_BA) and a != L.LB_HL:
+            yield "C", _LC21A  # LB21a
+        if b == L.LB_SY and a == L.LB_HL:
+            yield "T", 0  # LB21b
+        if a == L.LB_IN:
+            yield "T", 0  # LB22
+        if b in alhl and a == L.LB_NU:
+            yield "T", 0  # LB23
+        if b == L.LB_NU and a in alhl:
+            yield "T", 0  # LB23
+        if b == L.LB_PR and a in idem:
+            yield "T", 0  # LB23a
+        if b in idem and a == L.LB_PO:
+            yield "T", 0  # LB23a
+        if b in (L.LB_PR, L.LB_PO) and a in alhl:
+            yield "T", 0  # LB24
+        if b in alhl and a in (L.LB_PR, L.LB_PO):
+            yield "T", 0  # LB24
+        if (b, a) in L._LB25_NO_BREAK_PAIRS:
+            yield "T", 0  # LB25 (pair approximation)
+        if b == L.LB_JL and a in (L.LB_JL, L.LB_JV, L.LB_H2, L.LB_H3):
+            yield "T", 0  # LB26
+        if b in (L.LB_JV, L.LB_H2) and a in (L.LB_JV, L.LB_JT):
+            yield "T", 0  # LB26
+        if b in (L.LB_JT, L.LB_H3) and a == L.LB_JT:
+            yield "T", 0  # LB26
+        if b in jk and a == L.LB_PO:
+            yield "T", 0  # LB27
+        if b == L.LB_PR and a in jk:
+            yield "T", 0  # LB27
+        if b in alhl and a in alhl:
+            yield "T", 0  # LB28
+        if b == L.LB_IS and a in alhl:
+            yield "T", 0  # LB29
+        if (b in alhl or b == L.LB_NU) and a == L.LB_OP:
+            yield "T", 0  # LB30
+        if b == L.LB_CP and (a in alhl or a == L.LB_NU):
+            yield "T", 0  # LB30
+        if b == L.LB_RI and a == L.LB_RI:
+            yield "C", _LCRI  # LB30a
+        if b == L.LB_EB and a == L.LB_EM:
+            yield "T", 0  # LB30b
+        yield "T", 1  # LB31
+
+    act = np.full((37, 37), 1, dtype=np.int8)
+    dft = np.full((37, 37), 1, dtype=np.int8)
+    for b in range(37):
+        for a in range(37):
+            decisions = list(chain(b, a))
+            first = decisions[0]
+            if first[0] == "T":
+                act[b, a] = dft[b, a] = first[1]
+                continue
+            act[b, a] = first[1]
+            if first[1] == _LCSP:  # resolved by its own mini-cascade
+                continue
+            nxt = decisions[1]
+            assert nxt[0] == "T", f"double context at LB pair ({b},{a})"
+            dft[b, a] = nxt[1]
+    return act, dft
+
+
+_LB_ACT, _LB_DFT = _build_lb_pair_tables()
+
+
+def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None):
+    """Returns (break_before: bool[n], mandatory: bool[n]) — position p
+    marked True means a line may end before cps[p]; vectorized twin of
+    uax14.linebreak_opportunities.  Positions that are not cluster
+    starts are always False (breaks happen only at cluster boundaries,
+    LB9/LB10)."""
+    n = len(cps)
+    if n == 0:
+        return np.zeros(0, dtype=bool), np.zeros(0, dtype=bool)
+    C = lb_classes(cps)
+    idx = np.arange(n)
+
+    # LB9/LB10 collapse: cluster starts
+    attach = _LB_ATTACH[C]
+    lastb = _last_le(~attach, idx)
+    cond = attach & (lastb == idx - 1) & (lastb >= 0) & _LB_NONABS[C[np.maximum(lastb, 0)]]
+    cs = (~attach) | cond
+    cs[0] = True
+    starts = np.flatnonzero(cs)
+    K = len(starts)
+    ccls = C[starts]
+    ccls = np.where(_LB_ATTACH[ccls], _L.LB_AL, ccls).astype(np.int64)  # LB10
+
+    dcl = np.full(K, -1, dtype=np.int8)
+    dcl[0] = 0  # no opportunity before the first cluster (sot)
+    if K > 1:
+        d = dcl[1:]
+        B, A = ccls[:-1], ccls[1:]
+        # LB8a pre-mask: if cluster k-1's last RAW cp is ZWJ, every rule
+        # with priority <= LB8 that could also fire (LB6/LB7) is itself
+        # a no-break, and LB4/5/8's left classes (BK/CR/LF/NL/SP/ZW) are
+        # single-cp clusters that cannot end in ZWJ — so the mask
+        # commutes with the chain prefix and may be applied first.
+        _rule(d, C[starts[1:] - 1] == _L.LB_ZWJ, 0)  # LB8a
+
+        undec = d == -1
+        acts = np.where(undec, _LB_ACT[B, A], -3)
+        d[acts == 0] = 0
+        d[acts == 1] = 1
+
+        k_idx = np.arange(K)
+        m_sp = acts == _LCSP  # B == SP: LB8/LB11/LB13-LB18 need the
+        if m_sp.any():        # nearest non-SP cluster to the left
+            lastnonsp = _last_le(ccls != _L.LB_SP, k_idx)
+            jcl = lastnonsp[:-1]
+            nsc = np.where(jcl >= 0, ccls[np.maximum(jcl, 0)], -1)
+            sp = m_sp.copy()
+
+            def sp_rule(mask, val):
+                mm = sp & mask
+                d[mm] = val
+                sp[mm] = False
+
+            sp_rule(nsc == _L.LB_ZW, 1)  # LB8 across spaces
+            sp_rule(A == _L.LB_WJ, 0)  # LB11
+            sp_rule(_LB13_SET[A], 0)  # LB13
+            sp_rule(nsc == _L.LB_OP, 0)  # LB14
+            sp_rule((nsc == _L.LB_QU) & (A == _L.LB_OP), 0)  # LB15 (classic)
+            sp_rule(((nsc == _L.LB_CL) | (nsc == _L.LB_CP)) & (A == _L.LB_NS), 0)  # LB16
+            sp_rule((nsc == _L.LB_B2) & (A == _L.LB_B2), 0)  # LB17
+            d[sp] = 1  # LB18
+        m_ = acts == _LC21A  # LB21a: HL (HY|BA) x [^HL]
+        if m_.any():
+            c2 = np.full(K - 1, -1, dtype=np.int64)
+            if K > 2:
+                c2[1:] = ccls[:-2]
+            ok = m_ & (c2 == _L.LB_HL)
+            d[ok] = 0
+            d[m_ & ~ok] = _LB_DFT[B[m_ & ~ok], A[m_ & ~ok]]
+        m_ = acts == _LCRI  # LB30a: RI pair parity
+        if m_.any():
+            ri_run = _run_ending_incl(ccls == _L.LB_RI, k_idx)
+            odd = m_ & (ri_run[:-1] % 2 == 1)
+            d[odd] = 0
+            d[m_ & ~odd] = 1
+        d[d == -1] = 1  # LB31 (unreachable: the table always decides)
+
+    brk = np.zeros(n, dtype=bool)
+    mand = np.zeros(n, dtype=bool)
+    allowed = dcl == 1
+    brk[starts[allowed]] = True
+    if K > 1:
+        mand_cl = np.zeros(K, dtype=bool)
+        mand_cl[1:] = _LB_MAND[ccls[:-1]] | (ccls[:-1] == _L.LB_CR)
+        mand[starts[allowed & mand_cl]] = True
+    return brk, mand
+
+
+# --- batched text API --------------------------------------------------------
+
+_SEP = 0x0A  # LF: hard barrier in all four annexes (module docstring)
+
+
+def _cp_array(text: str) -> np.ndarray:
+    if not text:
+        return np.zeros(0, dtype=np.int64)
+    return np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+
+
+def _concat_batch(texts):
+    """Join texts with the LF separator in ONE C-speed encode pass.
+    Returns (cps, offs, lens, text_start_of) where texts[t] occupies
+    cps[offs[t] : offs[t]+lens[t]]."""
+    if not texts:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z
+    joined = "\n".join(texts) + "\n"
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    offs = np.concatenate([[0], np.cumsum(lens[:-1] + 1)])
+    return cps, offs, lens, (offs, lens)
+
+
+def _expand_tso(tso) -> np.ndarray:
+    """Materialize the per-position text-start array (only the sentence
+    engine needs it; word/grapheme/linebreak never pay for it)."""
+    if tso is None or isinstance(tso, np.ndarray):
+        return tso
+    offs, lens = tso
+    return np.repeat(offs, lens + 1)
+
+
+def _count_interior(bnd: np.ndarray, offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per text: number of True interior boundaries + 1 (0 for empty) =
+    segment count."""
+    csum = np.concatenate([[0], np.cumsum(bnd)])
+    counts = csum[offs + lens] - csum[np.minimum(offs + 1, len(bnd))]
+    return np.where(lens > 0, counts + 1, 0).astype(np.int64)
+
+
+def count_words_batch(texts) -> np.ndarray:
+    cps, offs, lens, tso = _concat_batch(texts)
+    return _count_interior(word_boundaries(cps, tso), offs, lens)
+
+
+def count_sentences_batch(texts) -> np.ndarray:
+    cps, offs, lens, tso = _concat_batch(texts)
+    return _count_interior(sentence_boundaries(cps, tso), offs, lens)
+
+
+def count_graphemes_batch(texts) -> np.ndarray:
+    cps, offs, lens, tso = _concat_batch(texts)
+    return _count_interior(grapheme_boundaries(cps, tso), offs, lens)
+
+
+def count_linebreaks_batch(texts):
+    """Per text: (n_opportunities, n_mandatory) arrays — the counting
+    twin of uax14.linebreak_opportunities."""
+    cps, offs, lens, tso = _concat_batch(texts)
+    brk, mand = linebreak_decisions(cps, tso)
+    cb = np.concatenate([[0], np.cumsum(brk)])
+    cm = np.concatenate([[0], np.cumsum(mand)])
+    hi = offs + lens
+    lo = np.minimum(offs + 1, len(brk))
+    nz = lens > 0  # an empty text has no interior positions at all
+    return (
+        np.where(nz, cb[hi] - cb[lo], 0).astype(np.int64),
+        np.where(nz, cm[hi] - cm[lo], 0).astype(np.int64),
+    )
+
+
+def _segments_batch(texts, engine):
+    cps, offs, lens, tso = _concat_batch(texts)
+    bnd = engine(cps, tso)
+    out = []
+    for t, off, ln in zip(texts, offs, lens):
+        if ln == 0:
+            out.append([])
+            continue
+        cuts = np.flatnonzero(bnd[off + 1 : off + ln]) + 1
+        prev = 0
+        segs = []
+        for c in cuts.tolist():
+            segs.append(t[prev:c])
+            prev = c
+        segs.append(t[prev:])
+        out.append(segs)
+    return out
+
+
+def word_segments_batch(texts):
+    """list[list[str]] — vectorized twin of uax29.wordbreak_segments."""
+    return _segments_batch(texts, word_boundaries)
+
+
+def sentence_segments_batch(texts):
+    """list[list[str]] — vectorized twin of uax29.sentence_segments."""
+    return _segments_batch(texts, sentence_boundaries)
+
+
+def grapheme_segments_batch(texts):
+    """list[list[str]] — vectorized twin of uax29_graphemes.grapheme_segments."""
+    return _segments_batch(texts, grapheme_boundaries)

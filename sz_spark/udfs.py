@@ -194,22 +194,29 @@ def make_utf8_norm_udf(form: str = "NFC"):
     return norm
 
 
-from sz_spark.uax29 import wordbreak_segments  # full UAX-29 WB1-WB16
+from sz_spark.uax29 import sentence_segments, wordbreak_segments  # scalar twins (tests)
 
 
-from sz_spark.uax29 import sentence_segments  # full UAX-29 SB1-SB11
+def _batch_texts(texts: pd.Series) -> list[str]:
+    return ["" if s is None else str(s) for s in texts]
 
 
 @pandas_udf(T.ArrayType(T.StringType()))
 def utf8_sentences_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda s: [] if s is None else sentence_segments(str(s)))
+    """Full UAX-29 SB1-SB11 sentence tiling — vectorized batch engine
+    (sz_spark.uax_vec, differential-tested against uax29.sentence_segments)."""
+    from sz_spark.uax_vec import sentence_segments_batch
+
+    return pd.Series(sentence_segments_batch(_batch_texts(texts)))
 
 
 @pandas_udf(T.ArrayType(T.StringType()))
 def utf8_wordbreaks_udf(texts: pd.Series) -> pd.Series:
-    """utf8_wordbreaks (UAX-29 core subset) — tiling of words +
-    separators; see wordbreak_segments."""
-    return texts.map(lambda s: [] if s is None else wordbreak_segments(str(s)))
+    """utf8_wordbreaks (full UAX-29 WB1-WB16) — tiling of words +
+    separators; vectorized batch engine (sz_spark.uax_vec)."""
+    from sz_spark.uax_vec import word_segments_batch
+
+    return pd.Series(word_segments_batch(_batch_texts(texts)))
 
 
 def make_translate_lut_udf(lut: bytes):
@@ -319,26 +326,26 @@ def make_band_keys_udf(
 
 @pandas_udf(T.IntegerType())
 def linebreak_opps_udf(texts: pd.Series) -> pd.Series:
-    """Count of FULL-ENGINE UAX-14 break opportunities (sz_spark.uax14,
-    LB1-LB31 chain) — driver-checked against the regex twin on the
-    letters+spaces scaffold where the two provably coincide (each space
-    run / hyphen-before-letter / newline is exactly one opportunity)."""
-    from sz_spark.uax14 import linebreak_opportunities
+    """Count of FULL-ENGINE UAX-14 break opportunities (LB1-LB31 chain,
+    vectorized pair-table engine sz_spark.uax_vec — differential twin of
+    uax14.linebreak_opportunities) — driver-checked against the regex
+    twin on the letters+spaces scaffold where the two provably coincide
+    (each space run / hyphen-before-letter / newline is exactly one
+    opportunity)."""
+    from sz_spark.uax_vec import count_linebreaks_batch
 
-    return texts.map(
-        lambda s: 0 if s is None else len(linebreak_opportunities(str(s)))
-    ).astype("int32")
+    n_opps, _ = count_linebreaks_batch(_batch_texts(texts))
+    return pd.Series(n_opps).astype("int32")
 
 
 @pandas_udf(T.IntegerType())
 def grapheme_count_udf(texts: pd.Series) -> pd.Series:
     """Extended-grapheme-cluster count from the in-repo GB1-GB999 engine
-    (sz_spark.uax29_graphemes — UCD-conformant property tables, GB9c
-    Indic conjuncts, GB11 emoji ZWJ), driver-checked against the Java
-    \\X column and the NFC-composition oracle on the synthesized
-    column where all three provably agree."""
-    from sz_spark.uax29_graphemes import grapheme_segments
+    (UCD-conformant property tables, GB9c Indic conjuncts, GB11 emoji
+    ZWJ; vectorized pair-table engine sz_spark.uax_vec — differential
+    twin of uax29_graphemes.grapheme_segments), driver-checked against
+    the Java \\X column and the NFC-composition oracle on the
+    synthesized column where all three provably agree."""
+    from sz_spark.uax_vec import count_graphemes_batch
 
-    return texts.map(
-        lambda s: 0 if s is None else len(grapheme_segments(str(s)))
-    ).astype("int32")
+    return pd.Series(count_graphemes_batch(_batch_texts(texts))).astype("int32")
