@@ -1083,9 +1083,34 @@ def szs_levenshtein_utf8(spark, sf):
     )
 
 
-def szs_levenshtein_affine(spark, sf):
-    lev = make_levenshtein_affine_udf(gap_open=2, gap_extend=1)
+#: truncation for the affine/class-costs DuckDB twins: the oracle is an
+#: independent nested-list_reduce Gotoh DP (O(len^2) SQL work per pair),
+#: so the driver-checked rows run the SAME production kernel on 48-byte
+#: ASCII inputs; the full-length parameterization keeps its exact
+#: big-int pytest oracle (tests/test_kernels.py).
+AFFINE_ORACLE_MAXLEN = 48
+
+
+def _affine_pairs(spark, sf) -> DataFrame:
     p = _adjacent_doc_pairs(spark, sf)
+    # ASCII guard: the kernel is byte-level, DuckDB substr is char-level
+    return p.filter(
+        F.col("text_a").rlike("^[ -~]*$") & F.col("text_b").rlike("^[ -~]*$")
+    ).select(
+        "doc_id",
+        F.substring("text_a", 1, AFFINE_ORACLE_MAXLEN).alias("text_a"),
+        F.substring("text_b", 1, AFFINE_ORACLE_MAXLEN).alias("text_b"),
+    )
+
+
+def szs_levenshtein_affine(spark, sf):
+    """Affine-gap Levenshtein (Gotoh) at the full open=2/extend=1
+    parameterization (stringzillas.h:181-238; gap L costs open +
+    (L-1)*extend), driver-checked value-for-value against an
+    independent DuckDB two-row-DP re-implementation
+    (gotoh_sql_expr) on truncated inputs."""
+    lev = make_levenshtein_affine_udf(gap_open=2, gap_extend=1)
+    p = _affine_pairs(spark, sf)
     return p.select("doc_id", lev(F.col("text_a"), F.col("text_b")).alias("dist"))
 
 
@@ -1097,6 +1122,81 @@ def szs_levenshtein_affine_unit(spark, sf):
     lev = make_levenshtein_affine_udf(gap_open=1, gap_extend=1)
     p = _adjacent_doc_pairs(spark, sf)
     return p.select("doc_id", lev(F.col("text_a"), F.col("text_b")).alias("dist"))
+
+
+def gotoh_sql_expr(A: str, B: str, open_: int, ext: int, sub: str,
+                   minimize: bool = True) -> str:
+    """DuckDB scalar expression: affine-gap (Gotoh) global alignment of
+    string columns ``A`` x ``B`` — an independent re-implementation of
+    kernels._gotoh_batch (gap of length L costs open + (L-1)*ext,
+    serial.hpp:1135/:1687) used as the cross-engine oracle for
+    szs_levenshtein_affine and szs_nw_class_costs.
+
+    Encoding: nested list_reduce with FLAT BIGINT[] accumulators — the
+    outer fold's acc is the previous H/F row interleaved
+    [h0,f0,h1,f1,...], the inner fold's acc additionally carries the
+    running E value as its trailing element.  (Struct-typed reduce
+    accumulators silently drop list_append history in DuckDB 1.0, so
+    everything stays a plain list.)  ``sub`` is a scalar expression over
+    the 1-based char indices ``x2[1]`` (into A) and ``x[1]`` (into B).
+    """
+    pick = "least" if minimize else "greatest"
+    worst = (1 << 40) if minimize else -(1 << 40)
+    f0 = f"{pick}(acc[1] + {open_}, acc[2] + {ext})"
+    ej = f"{pick}(a2[len(a2) - 2] + {open_}, a2[len(a2)] + {ext})"
+    fj = f"{pick}(acc[2 * x2[1] + 1] + {open_}, acc[2 * x2[1] + 2] + {ext})"
+    hj = f"{pick}(acc[2 * x2[1] - 1] + ({sub}), {ej}, {fj})"
+    return f"""(list_reduce(
+  list_concat(
+    [flatten(list_transform(range(0, length({A}) + 1),
+       j -> [CASE WHEN j = 0 THEN 0 ELSE {open_} + (j - 1) * {ext} END, {worst}::BIGINT]))],
+    list_transform(range(1, length({B}) + 1), i -> [i::BIGINT])
+  ),
+  (acc, x) -> list_reduce(
+    list_concat(
+      [[{f0}, {f0}, {worst}::BIGINT]],
+      list_transform(range(1, length({A}) + 1), j -> [j::BIGINT])
+    ),
+    (a2, x2) -> list_concat(list_concat(a2[1 : len(a2) - 1], [{hj}, {fj}]), [{ej}])
+  )[1 : 2 * length({A}) + 2]
+))[2 * length({A}) + 1]"""
+
+
+def _affine_pairs_cte() -> str:
+    return f"""
+SELECT a.doc_id,
+       substr(a.text, 1, {AFFINE_ORACLE_MAXLEN}) AS ta,
+       substr(b.text, 1, {AFFINE_ORACLE_MAXLEN}) AS tb
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE regexp_matches(a.text, '^[ -~]*$') AND regexp_matches(b.text, '^[ -~]*$')
+"""
+
+
+def _gotoh_oracle_sql(sub: str, open_: int, ext: int, minimize: bool,
+                      out_name: str) -> str:
+    expr = gotoh_sql_expr("ta", "tb", open_, ext, sub, minimize)
+    long_ = "greatest(length(ta), length(tb))"
+    return f"""
+WITH p AS ({_affine_pairs_cte()})
+SELECT doc_id,
+       CASE WHEN length(ta) = 0 OR length(tb) = 0
+            THEN CASE WHEN {long_} = 0 THEN 0
+                 ELSE {open_} + ({long_} - 1) * {ext} END
+            ELSE {expr} END AS {out_name}
+FROM p
+"""
+
+
+SZS_AFFINE_SQL = _gotoh_oracle_sql(
+    "CASE WHEN substr(ta, x2[1]::INT, 1) = substr(tb, x[1]::INT, 1) THEN 0 ELSE 1 END",
+    2, 1, True, "dist",
+)
+
+_VOWELS = "('a','e','i','o','u')"
+SZS_NW_CLASS_SQL = _gotoh_oracle_sql(
+    f"CASE WHEN (substr(ta, x2[1]::INT, 1) IN {_VOWELS}) = (substr(tb, x[1]::INT, 1) IN {_VOWELS}) THEN 5 ELSE -4 END",
+    -2, -1, False, "score",
+)
 
 
 def szs_needleman_wunsch(spark, sf):
@@ -1138,7 +1238,10 @@ def szs_nw_class_costs(spark, sf):
     """NW with a byte->class compacted substitution matrix — the
     error_costs_32x32_t surface (stringzillas.h:339-397; presets like
     BLOSUM62/NUC.4.4 plug in the same way).  Here: a DNA-style 2-class
-    alphabet (vowels vs consonants) with NUC.4.4-style +5/-4 costs."""
+    alphabet (vowels vs consonants) with NUC.4.4-style +5/-4 costs and
+    affine gaps (open=-2, extend=-1), driver-checked value-for-value
+    against an independent DuckDB Gotoh DP (gotoh_sql_expr) on
+    truncated inputs."""
     import numpy as np
 
     from sz_spark.kernels import expand_class_costs
@@ -1150,7 +1253,7 @@ def szs_nw_class_costs(spark, sf):
     np.fill_diagonal(class_costs, 5)
     subs = expand_class_costs(byte_to_class, class_costs)
     nw = make_nw_udf(substitution=subs, gap_open=-2, gap_extend=-1)
-    p = _adjacent_doc_pairs(spark, sf)
+    p = _affine_pairs(spark, sf)
     return p.select("doc_id", nw(F.col("text_a"), F.col("text_b")).alias("score"))
 
 
@@ -1425,11 +1528,11 @@ REGISTRY: dict[str, tuple] = {
     # --- flagship §2.8 similarity engines (stringzillas.h:181-580) ---
     "szs_levenshtein": (szs_levenshtein, SZS_LEV_SQL),
     "szs_levenshtein_utf8": (szs_levenshtein_utf8, SZS_LEV_SQL),  # ASCII corpus
-    "szs_levenshtein_affine": (szs_levenshtein_affine, None),
+    "szs_levenshtein_affine": (szs_levenshtein_affine, SZS_AFFINE_SQL),
     "szs_levenshtein_affine_unit": (szs_levenshtein_affine_unit, SZS_LEV_SQL),
     "szs_needleman_wunsch": (szs_needleman_wunsch, SZS_NW_SQL),
     "szs_smith_waterman": (szs_smith_waterman, SZS_SW_SQL),
-    "szs_nw_class_costs": (szs_nw_class_costs, None),
+    "szs_nw_class_costs": (szs_nw_class_costs, SZS_NW_CLASS_SQL),
     "szs_fingerprints": (szs_fingerprints, None),
     "szs_fingerprints_small": (szs_fingerprints_small, szs_fingerprints_small_oracle()),
     "szs_hash_multiseed": (szs_hash_multiseed, SZS_MULTISEED_SQL),
