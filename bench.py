@@ -206,13 +206,14 @@ def main() -> None:
         n = fn(spark, SF_DIR).count()
         query_secs[name] = round(time.time() - t0, 2)
         log(f"[bench] {name}: {query_secs[name]}s ({n} rows)")
-    # NOTE: deliberately NO spark.catalog.clearCache() between queries.
-    # A round-3 A/B on the same 8-query subset measured clearCache
-    # contaminating LATER queries 4-14x (er_pair_scores_lev 74-181 s
-    # with it vs 12-18 s without, same session, same box) — the
-    # accumulated band/shingle caches are small at sf0.1 and Spark's
-    # LRU eviction handles storage pressure; the untimed rehearsal
-    # loop still clears between queries.
+    # Timing policy (r4): every registered query is now storage-residue-
+    # free by construction — the band-table caches were removed and the
+    # shingle persist unpersists after its consuming action
+    # (test_cache_lifecycle) — so per-query numbers are COLD-ish and
+    # order-independent; only JVM/codegen/parquet-footer warmup is
+    # shared (done explicitly above).  clearCache() stays out of the
+    # loop: a round-3 A/B measured it contaminating LATER queries 4-14x
+    # (er_pair_scores_lev 74-181 s with it vs 12-18 s without).
     spark.stop()
 
     # ---- scaling probe ---------------------------------------------------
@@ -282,6 +283,7 @@ def main() -> None:
                 "unit": "turns/sec",
                 "queries": query_secs,
                 "sf": sf,
+                "timing_policy": "per-query cold (no shared caches; warm JVM/footers)",
                 "extras": extras,
             }
         )

@@ -87,6 +87,10 @@ def make_wav(sample_rate: int, samples: np.ndarray) -> bytes:
         + b"data"
         + struct.pack("<I", len(data))
         + data
+        # RIFF chunks are word-aligned: odd-length data gets a pad byte
+        # (not counted in the chunk length) — wav_decode and stdlib wave
+        # both already skip it (ADVICE r3: strict RIFF canonical form)
+        + (b"\x00" if len(data) & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

@@ -408,7 +408,7 @@ def str_hash_ops(spark, sf):
     return d.select(
         "doc_id",
         F.sha2(F.col("text"), 256).alias("digest"),
-        mac.alias("mac_hex"),
+        mac.alias("mac_composed_hex"),
         bytesum_udf(F.col("text")).alias("byte_sum"),
     )
 
@@ -418,7 +418,7 @@ def str_hash_ops_sql() -> str:
     return f"""
 SELECT doc_id,
        sha256(text) AS digest,
-       sha256('{_sql_str(opad)}' || sha256('{_sql_str(ipad)}' || text)) AS mac_hex,
+       sha256('{_sql_str(opad)}' || sha256('{_sql_str(ipad)}' || text)) AS mac_composed_hex,
        CAST(list_aggregate(list_transform(regexp_extract_all(text, '.'), x -> ord(x)), 'sum') AS BIGINT) AS byte_sum
 FROM documents
 """
