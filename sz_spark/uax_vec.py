@@ -57,6 +57,8 @@ _INCB_STARTS = np.asarray(_T.INCB_STARTS, dtype=np.int64)
 _INCB_PROPS = np.asarray(_T.INCB_PROPS, dtype=np.int8)
 _EP_STARTS = np.asarray(_T.EXTPICT_STARTS, dtype=np.int64)
 _EP_PROPS = np.asarray(_T.EXTPICT_PROPS, dtype=np.int8)
+_QS_STARTS = np.asarray(_T.QSIDE_STARTS, dtype=np.int64)
+_QS_PROPS = np.asarray(_T.QSIDE_PROPS, dtype=np.int8)
 
 
 def _bmp_lut(starts: np.ndarray, props: np.ndarray) -> np.ndarray:
@@ -86,6 +88,7 @@ _LB_BMP = _bmp_lut(_LB_STARTS, _LB_PROPS)
 _GCB_BMP = _bmp_lut(_GCB_STARTS, _GCB_PROPS)
 _INCB_BMP = _bmp_lut(_INCB_STARTS, _INCB_PROPS)
 _EP_BMP = _bmp_lut(_EP_STARTS, _EP_PROPS)
+_QS_BMP = _bmp_lut(_QS_STARTS, _QS_PROPS)
 
 
 def wb_props(cps):
@@ -112,6 +115,11 @@ def extpict(cps):
     return _lookup(_EP_STARTS, _EP_PROPS, cps, _EP_BMP).astype(bool)
 
 
+def qside_props(cps):
+    """General-category quote side: 1 = Pi, 2 = Pf (LB15a/LB15b)."""
+    return _lookup(_QS_STARTS, _QS_PROPS, cps, _QS_BMP)
+
+
 # --- small class-code LUTs (indexed by property code) -----------------------
 
 
@@ -132,13 +140,17 @@ _SB_IGN = _lut(15, (_W.S_EXTEND, _W.S_FORMAT))
 _SB_PARA = _lut(15, (_W.S_SEP, _W.S_CR, _W.S_LF))
 _SB_BLOCK = _lut(15, _W._SB8_BLOCKERS)
 
-_LB_NONABS = _lut(37, (_L.LB_BK, _L.LB_CR, _L.LB_LF, _L.LB_NL, _L.LB_SP, _L.LB_ZW))
-_LB_MAND = _lut(37, (_L.LB_BK, _L.LB_CR, _L.LB_LF, _L.LB_NL))
-_LB_ATTACH = _lut(37, (_L.LB_CM, _L.LB_ZWJ))
-_LB13_SET = _lut(37, (_L.LB_CL, _L.LB_CP, _L.LB_EX, _L.LB_IS, _L.LB_SY))
-_LB_IDEM = _lut(37, (_L.LB_ID, _L.LB_EB, _L.LB_EM))
-_LB_ALHL = _lut(37, (_L.LB_AL, _L.LB_HL))
-_LB25_TBL = np.zeros((37, 37), dtype=bool)
+_NLB = 43  # Line_Break classes incl. the newest-TR14 AK/AP/AS/VF/VI/HH
+_LB_NONABS = _lut(_NLB, (_L.LB_BK, _L.LB_CR, _L.LB_LF, _L.LB_NL, _L.LB_SP, _L.LB_ZW))
+_LB_MAND = _lut(_NLB, (_L.LB_BK, _L.LB_CR, _L.LB_LF, _L.LB_NL))
+_LB_ATTACH = _lut(_NLB, (_L.LB_CM, _L.LB_ZWJ))
+_LB13_SET = _lut(_NLB, (_L.LB_CL, _L.LB_CP, _L.LB_EX, _L.LB_SY))  # IS: LB15.3/15.4
+_LB_IDEM = _lut(_NLB, (_L.LB_ID, _L.LB_EB, _L.LB_EM))
+_LB_ALHL = _lut(_NLB, (_L.LB_AL, _L.LB_HL))
+_LB15A_LEFT = _lut(_NLB, _L._LB15A_LEFT)
+_LB15B_RIGHT = _lut(_NLB, _L._LB15B_RIGHT)
+_LB20A_LEFT = _lut(_NLB, _L._LB20A_LEFT)
+_LB25_TBL = np.zeros((_NLB, _NLB), dtype=bool)
 for _b, _a in _L._LB25_NO_BREAK_PAIRS:
     _LB25_TBL[_b, _a] = True
 
@@ -504,21 +516,30 @@ def grapheme_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
 # --- LINE-BREAK opportunities (LB1-LB31) -----------------------------------
 
 
-_LCSP, _LC21A, _LCRI = 10, 11, 12  # ctx codes for the LB pair table
+# ctx-rule BITS for the LB pair table, in chain order (walker below)
+_LCB_15A, _LCB_15B, _LCB_20A, _LCB_21A, _LCB_28A, _LCB_RI = (1 << i for i in range(6))
+_LCSP = 3  # ACTION marker: B == SP, resolved by the space mini-cascade
 
 
 def _build_lb_pair_tables():
-    """Bake the LB4-LB31 cluster chain (scalar order of
-    uax14._break_allowed) into (ACTION, DEFAULT) tables over the
-    (B, A) = (classes[k-1], classes[k]) cluster pair: ACTION 1=break,
-    0=no-break, _LCSP = space-left context (LB8/LB11/LB13-LB18 via the
-    nearest non-SP cluster), _LC21A = LB21a lookback, _LCRI = LB30a
-    parity; DEFAULT is the chain outcome when the context fails."""
+    """Bake the newest-TR14 LB4-LB31 cluster chain (the scalar order of
+    uax14._break_allowed / reference serial.h:244-510) into three
+    (B, A) = (classes[k-1], classes[k]) tables:
+
+    * ACTION: 1 = break, 0 = no-break, 2 = context, _LCSP = B is SP
+      (resolved by the space mini-cascade);
+    * CTXMASK: bitmask of the context rules (LB15a/LB15b/LB20a/LB21a/
+      LB28a/LB30a) reachable before the pair's first terminal rule, in
+      chain order;
+    * DEFAULT: the first terminal outcome when every context fails.
+    """
     L = _L
     mand = (L.LB_BK, L.LB_CR, L.LB_LF, L.LB_NL)
     alhl = (L.LB_AL, L.LB_HL)
     idem = (L.LB_ID, L.LB_EB, L.LB_EM)
     jk = (L.LB_JL, L.LB_JV, L.LB_JT, L.LB_H2, L.LB_H3)
+    hyhh = (L.LB_HY, L.LB_HH)
+    akas = (L.LB_AK, L.LB_AS)
 
     def chain(b, a):
         if b == L.LB_BK:
@@ -532,33 +553,40 @@ def _build_lb_pair_tables():
         if a in (L.LB_SP, L.LB_ZW):
             yield "T", 0  # LB7
         if b == L.LB_SP:
-            yield "C", _LCSP  # LB8/LB11/LB13-LB18 need the left walk
+            yield "SP", _LCSP  # LB8/LB11/LB13-LB18 need the left walk
         if b == L.LB_ZW:
             yield "T", 1  # LB8 (B != SP: nearest non-SP IS b)
         if b == L.LB_WJ or a == L.LB_WJ:
             yield "T", 0  # LB11
         if b == L.LB_GL:
             yield "T", 0  # LB12
-        if b not in (L.LB_SP, L.LB_BA, L.LB_HY) and a == L.LB_GL:
+        if b not in (L.LB_SP, L.LB_BA, L.LB_HY, L.LB_HH) and a == L.LB_GL:
             yield "T", 0  # LB12a
-        if a in (L.LB_CL, L.LB_CP, L.LB_EX, L.LB_IS, L.LB_SY):
-            yield "T", 0  # LB13
+        if a in (L.LB_CL, L.LB_CP, L.LB_EX, L.LB_SY):
+            yield "T", 0  # LB13 (IS handled by LB15.3/15.4)
         if b == L.LB_OP:
             yield "T", 0  # LB14 (nsc == b when b != SP)
-        if b == L.LB_QU and a == L.LB_OP:
-            yield "T", 0  # LB15 (classic)
+        if b == L.LB_QU:
+            yield "C", _LCB_15A  # LB15a: Pi + allowed left
+        if a == L.LB_QU:
+            yield "C", _LCB_15B  # LB15b: Pf + allowed right
+        # LB15.3 needs b == SP (space mini-cascade)
+        if a == L.LB_IS:
+            yield "T", 0  # LB15.4
         if b in (L.LB_CL, L.LB_CP) and a == L.LB_NS:
             yield "T", 0  # LB16
         if b == L.LB_B2 and a == L.LB_B2:
             yield "T", 0  # LB17
         if a == L.LB_QU or b == L.LB_QU:
-            yield "T", 0  # LB19
-        if a in (L.LB_BA, L.LB_HY, L.LB_NS):
+            yield "T", 0  # LB19 (classic; EAW refinement not modeled)
+        if b in hyhh and a in alhl:
+            yield "C", _LCB_20A  # LB20a: allowed two-left
+        if a in (L.LB_BA, L.LB_HY, L.LB_HH, L.LB_NS):
             yield "T", 0  # LB21
         if b == L.LB_BB:
             yield "T", 0  # LB21
-        if b in (L.LB_HY, L.LB_BA) and a != L.LB_HL:
-            yield "C", _LC21A  # LB21a
+        if b in hyhh and a != L.LB_HL:
+            yield "C", _LCB_21A  # LB21a: HL two-left
         if b == L.LB_SY and a == L.LB_HL:
             yield "T", 0  # LB21b
         if a == L.LB_IN:
@@ -589,6 +617,17 @@ def _build_lb_pair_tables():
             yield "T", 0  # LB27
         if b in alhl and a in alhl:
             yield "T", 0  # LB28
+        # LB28a: any pair a sub-rule could decide given dotted/ahead
+        # context (AL may be a Dotted-Circle aksara base)
+        maybe_bl = b in akas or b == L.LB_AL
+        maybe_br = a in akas or a == L.LB_AL
+        if (
+            (b == L.LB_AP and (a in akas or a == L.LB_AL))
+            or (maybe_bl and a in (L.LB_VF, L.LB_VI))
+            or (b == L.LB_VI and (a == L.LB_AK or a == L.LB_AL))
+            or (maybe_bl and maybe_br)
+        ):
+            yield "C", _LCB_28A
         if b == L.LB_IS and a in alhl:
             yield "T", 0  # LB29
         if (b in alhl or b == L.LB_NU) and a == L.LB_OP:
@@ -596,30 +635,36 @@ def _build_lb_pair_tables():
         if b == L.LB_CP and (a in alhl or a == L.LB_NU):
             yield "T", 0  # LB30
         if b == L.LB_RI and a == L.LB_RI:
-            yield "C", _LCRI  # LB30a
+            yield "C", _LCB_RI  # LB30a
         if b == L.LB_EB and a == L.LB_EM:
             yield "T", 0  # LB30b
         yield "T", 1  # LB31
 
-    act = np.full((37, 37), 1, dtype=np.int8)
-    dft = np.full((37, 37), 1, dtype=np.int8)
-    for b in range(37):
-        for a in range(37):
-            decisions = list(chain(b, a))
-            first = decisions[0]
-            if first[0] == "T":
-                act[b, a] = dft[b, a] = first[1]
-                continue
-            act[b, a] = first[1]
-            if first[1] == _LCSP:  # resolved by its own mini-cascade
-                continue
-            nxt = decisions[1]
-            assert nxt[0] == "T", f"double context at LB pair ({b},{a})"
-            dft[b, a] = nxt[1]
-    return act, dft
+    act = np.full((_NLB, _NLB), 1, dtype=np.int8)
+    dft = np.full((_NLB, _NLB), 1, dtype=np.int8)
+    ctx = np.zeros((_NLB, _NLB), dtype=np.int16)
+    for b in range(_NLB):
+        for a in range(_NLB):
+            bits = 0
+            for kind, val in chain(b, a):
+                if kind == "SP":
+                    act[b, a] = _LCSP
+                    break
+                if kind == "C":
+                    bits |= val
+                    continue
+                # first terminal
+                if bits:
+                    act[b, a] = 2
+                    ctx[b, a] = bits
+                    dft[b, a] = val
+                else:
+                    act[b, a] = dft[b, a] = val
+                break
+    return act, dft, ctx
 
 
-_LB_ACT, _LB_DFT = _build_lb_pair_tables()
+_LB_ACT, _LB_DFT, _LB_CTX = _build_lb_pair_tables()
 
 
 def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None):
@@ -650,6 +695,7 @@ def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None
     if K > 1:
         d = dcl[1:]
         B, A = ccls[:-1], ccls[1:]
+        base_cps = cps[starts]  # cluster base codepoints (Pi/Pf, U+25CC)
         # LB8a pre-mask: if cluster k-1's last RAW cp is ZWJ, every rule
         # with priority <= LB8 that could also fire (LB6/LB7) is itself
         # a no-break, and LB4/5/8's left classes (BK/CR/LF/NL/SP/ZW) are
@@ -663,11 +709,24 @@ def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None
         d[acts == 1] = 1
 
         k_idx = np.arange(K)
-        m_sp = acts == _LCSP  # B == SP: LB8/LB11/LB13-LB18 need the
-        if m_sp.any():        # nearest non-SP cluster to the left
+        c2 = np.full(K - 1, -1, dtype=np.int64)  # class two clusters left
+        if K > 2:
+            c2[1:] = ccls[:-2]
+        ahead = np.full(K - 1, -1, dtype=np.int64)  # class one cluster right
+        ahead[:-1] = ccls[2:]
+        qside = qside_props(base_cps)  # 1 = Pi, 2 = Pf per cluster base
+        dotted = base_cps == _L.DOTTED_CIRCLE
+
+        m_sp = acts == _LCSP  # B == SP: the left-walk mini-cascade
+        if m_sp.any():
             lastnonsp = _last_le(ccls != _L.LB_SP, k_idx)
             jcl = lastnonsp[:-1]
-            nsc = np.where(jcl >= 0, ccls[np.maximum(jcl, 0)], -1)
+            jc = np.maximum(jcl, 0)
+            nsc = np.where(jcl >= 0, ccls[jc], -1)
+            # class of the cluster just left of the nearest non-SP one
+            # (-1 at the batch head == the scalar engine's sot case)
+            nsc_left = np.where(jcl >= 1, ccls[np.maximum(jcl - 1, 0)], -1)
+            nsc_pi = (qside[jc] == 1) & (jcl >= 0)
             sp = m_sp.copy()
 
             def sp_rule(mask, val):
@@ -679,25 +738,67 @@ def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None
             sp_rule(A == _L.LB_WJ, 0)  # LB11
             sp_rule(_LB13_SET[A], 0)  # LB13
             sp_rule(nsc == _L.LB_OP, 0)  # LB14
-            sp_rule((nsc == _L.LB_QU) & (A == _L.LB_OP), 0)  # LB15 (classic)
+            # LB15a: (sot|allowed) [QU&Pi] SP* x
+            sp_rule((nsc == _L.LB_QU) & nsc_pi
+                    & ((nsc_left < 0) | _LB15A_LEFT[np.maximum(nsc_left, 0)]), 0)
+            # LB15b: x [QU&Pf] (allowed | eot)
+            sp_rule((A == _L.LB_QU) & (qside[1:] == 2)
+                    & ((ahead < 0) | _LB15B_RIGHT[np.maximum(ahead, 0)]), 0)
+            # LB15.3: SP x IS NU is a break opportunity
+            sp_rule((A == _L.LB_IS) & (ahead == _L.LB_NU), 1)
+            sp_rule(A == _L.LB_IS, 0)  # LB15.4
             sp_rule(((nsc == _L.LB_CL) | (nsc == _L.LB_CP)) & (A == _L.LB_NS), 0)  # LB16
             sp_rule((nsc == _L.LB_B2) & (A == _L.LB_B2), 0)  # LB17
             d[sp] = 1  # LB18
-        m_ = acts == _LC21A  # LB21a: HL (HY|BA) x [^HL]
-        if m_.any():
-            c2 = np.full(K - 1, -1, dtype=np.int64)
-            if K > 2:
-                c2[1:] = ccls[:-2]
-            ok = m_ & (c2 == _L.LB_HL)
-            d[ok] = 0
-            d[m_ & ~ok] = _LB_DFT[B[m_ & ~ok], A[m_ & ~ok]]
-        m_ = acts == _LCRI  # LB30a: RI pair parity
-        if m_.any():
-            ri_run = _run_ending_incl(ccls == _L.LB_RI, k_idx)
-            odd = m_ & (ri_run[:-1] % 2 == 1)
-            d[odd] = 0
-            d[m_ & ~odd] = 1
-        d[d == -1] = 1  # LB31 (unreachable: the table always decides)
+
+        m_ctx = acts == 2
+        if m_ctx.any():
+            bits = _LB_CTX[B, A]
+            pending = m_ctx.copy()
+
+            def ctx_rule(bit, cond, val=0):
+                mm = pending & ((bits & bit) != 0)
+                if mm.any():
+                    ok = mm & cond()
+                    d[ok] = val
+                    pending[ok] = False
+
+            # LB15a (B != SP: B itself is the nearest non-SP cluster)
+            ctx_rule(_LCB_15A, lambda: (qside[:-1] == 1)
+                     & ((c2 < 0) | _LB15A_LEFT[np.maximum(c2, 0)]))
+            # LB15b
+            ctx_rule(_LCB_15B, lambda: (qside[1:] == 2)
+                     & ((ahead < 0) | _LB15B_RIGHT[np.maximum(ahead, 0)]))
+            # LB20a: (sot|allowed) (HY|HH) x (AL|HL)
+            ctx_rule(_LCB_20A, lambda: (c2 < 0) | _LB20A_LEFT[np.maximum(c2, 0)])
+            # LB21a: HL (HY|HH) x [^HL]
+            ctx_rule(_LCB_21A, lambda: c2 == _L.LB_HL)
+
+            # LB28a: aksara clusters (Dotted Circle acts as a base)
+            def lb28a_cond():
+                dl, dr = dotted[:-1], dotted[1:]
+                d2 = np.zeros(K - 1, dtype=bool)
+                if K > 2:
+                    d2[1:] = dotted[:-2]
+                base_l = (B == _L.LB_AK) | (B == _L.LB_AS) | dl
+                base_r = (A == _L.LB_AK) | (A == _L.LB_AS) | dr
+                r1 = (B == _L.LB_AP) & base_r
+                r2 = base_l & ((A == _L.LB_VF) | (A == _L.LB_VI))
+                r3 = (B == _L.LB_VI) & ((A == _L.LB_AK) | dr) \
+                    & ((c2 == _L.LB_AK) | (c2 == _L.LB_AS) | d2)
+                r4 = base_l & base_r & (ahead == _L.LB_VF)
+                return r1 | r2 | r3 | r4
+
+            ctx_rule(_LCB_28A, lb28a_cond)
+            # LB30a: RI pair parity
+            ri_bit = pending & ((bits & _LCB_RI) != 0)
+            if ri_bit.any():
+                ri_run = _run_ending_incl(ccls == _L.LB_RI, k_idx)
+                ok = ri_bit & (ri_run[:-1] % 2 == 1)
+                d[ok] = 0
+                pending[ok] = False
+            d[pending] = _LB_DFT[B[pending], A[pending]]
+        d[d == -1] = 1  # unreachable: the table always decides
 
     brk = np.zeros(n, dtype=bool)
     mand = np.zeros(n, dtype=bool)

@@ -124,9 +124,10 @@ def test_line_break_class_full_unicode_conformance():
     reference's UCD-17-generated tables (utf8_linebreaks/tables.h:
     palette descriptors + big ranges + page LUT + BMP trie + astral
     ranges, decoded exactly as serial.h sz_rune_line_break_property).
-    Classes this engine does not model are folded to their LB1-style
-    defaults on the reference side (AK/AP/AS/CB -> AL, VF/VI -> CM,
-    HH -> BA).  Skipped when the reference checkout is absent."""
+    The newest-TR14 classes AK/AP/AS/VF/VI/HH are compared UNFOLDED
+    since round 4; the only remaining fold is CB -> AL (no
+    inline-object class in a text corpus).  Skipped when the reference
+    checkout is absent."""
     import os
     import re
 
@@ -193,8 +194,10 @@ def test_line_break_class_full_unicode_conformance():
              m.LB_OP: 21, m.LB_QU: 22, m.LB_IS: 23, m.LB_NU: 24, m.LB_PO: 25,
              m.LB_PR: 26, m.LB_SY: 27, m.LB_HL: 35, m.LB_ID: 36, m.LB_EB: 31,
              m.LB_EM: 32, m.LB_RI: 40, m.LB_JL: 37, m.LB_JV: 38, m.LB_JT: 39,
-             m.LB_H2: 33, m.LB_H3: 34}
-    fold = {43: 29, 44: 29, 45: 29, 46: 4, 47: 4, 48: 12, 15: 29}
+             m.LB_H2: 33, m.LB_H3: 34,
+             m.LB_AK: 43, m.LB_AP: 44, m.LB_AS: 45, m.LB_VF: 46, m.LB_VI: 47,
+             m.LB_HH: 48}
+    fold = {15: 29}  # CB -> AL: the one class still not modeled
     bad = []
     for cp in range(0x110000):
         if 0xD800 <= cp <= 0xDFFF:
@@ -204,3 +207,71 @@ def test_line_break_class_full_unicode_conformance():
         if mymap[m.line_break_class(cp)] != ref:
             bad.append(cp)
     assert not bad, f"{len(bad)} divergent codepoints, first: {[hex(c) for c in bad[:10]]}"
+
+
+def test_tr14_hh_and_lb20a():
+    """HH (unambiguous hyphen, U+2010) + LB20a word-initial hyphens."""
+    HH = chr(0x2010)
+    # word-internal hyphen: break after it (LB21 attaches it left)
+    assert lb(f"hy{HH}phen") == [f"hy{HH}", "phen"]
+    # LB20a: hyphen at word start (after a space) glues to the word
+    assert lb(f"x {HH}yz") == ["x ", f"{HH}yz"]
+    assert lb("x -yz") == ["x ", "-yz"]  # same for HY
+    # at sot
+    assert lb(f"{HH}yz") == [f"{HH}yz"]
+    # LB21a: Hebrew letter + hyphen glues to the NEXT cluster
+    heb = chr(0x05D0)
+    assert lb(f"{heb}{HH}x") == [f"{heb}{HH}x"]
+    # LB12a: no glue-before-GL exemption is NOT extended after HH
+    NBSP2 = chr(0xA0)
+    assert lb(f"a{HH}{NBSP2}b") == [f"a{HH}", f"{NBSP2}b"]
+
+
+def test_tr14_lb15a_lb15b_quotes():
+    """Pi/Pf quote context (LB15a/b replace classic LB15)."""
+    PI, PF = chr(0x201C), chr(0x201D)  # " "
+    # LB15a: opening Pi quote at sot / after space glues right, even
+    # across following spaces
+    assert lb(f"{PI}word") == [f"{PI}word"]
+    assert lb(f"x {PI}word") == ["x ", f"{PI}word"]
+    assert lb(f"x {PI} word") == ["x ", f"{PI} word"]
+    # LB15b: closing Pf quote before space attaches left
+    assert lb(f"word{PF} x") == [f"word{PF} ", "x"]
+    # eot also allowed
+    assert lb(f"word{PF}") == [f"word{PF}"]
+    # ambiguous straight quote is neither Pi nor Pf: LB15a does not
+    # suppress LB18's break after the space, unlike the Pi case above
+    assert lb('a "b" c') == ['a ', '"b" ', 'c']
+
+
+def test_tr14_lb15_34_is_rules():
+    """LB15.3/LB15.4: IS after a space breaks only before a numeral."""
+    # SP IS NU: break opportunity before the IS cluster
+    assert lb("x .5") == ["x ", ".5"]
+    # SP IS non-NU: x IS still attaches (LB15.4)
+    assert lb("x .y") == ["x .y"]
+    # non-space left: IS attaches as always
+    assert lb("3.14") == ["3.14"]
+
+
+def test_tr14_lb28a_aksara():
+    """LB28a aksara clusters over AK/AP/AS/VF/VI with Dotted Circle."""
+    AK = chr(0x11005)   # Brahmi letter A (AK)
+    AK2 = chr(0x11006)
+    AP = chr(0x11003)   # Brahmi number joiner? -> AP per tables
+    VI = chr(0x11046)   # Brahmi virama (VI)
+    VF = chr(0x1BF2)    # Batak pangolat (VF)
+    DC = chr(0x25CC)
+    # AP x AK
+    assert lb(f"{AP}{AK}") == [f"{AP}{AK}"]
+    # AK x VI
+    assert lb(f"{AK}{VI}") == [f"{AK}{VI}"]
+    # AK VI x AK (28a.3)
+    assert lb(f"{AK}{VI}{AK2}") == [f"{AK}{VI}{AK2}"]
+    # AK x AK VF (28a.4)
+    assert lb(f"{AK}{AK2}{VF}") == [f"{AK}{AK2}{VF}"]
+    # dotted circle acts as base
+    assert lb(f"{AP}{DC}") == [f"{AP}{DC}"]
+    assert lb(f"{DC}{VI}") == [f"{DC}{VI}"]
+    # two bare AK with no virama context still break (LB31)
+    assert lb(f"{AK}{AK2}") == [AK, AK2]

@@ -76,6 +76,10 @@ POOL = (
     + [0x30A2, 0x30FC, 0x4E2D, 0x3002, 0x2024, 0x2025, 0x0F0B]
     + [0x05D0, 0x05F3, 0x05F4]
     + [0x0915, 0x094D, 0x0937, 0x093F]
+    # newest-TR14 LB classes: Pi/Pf quotes, HH hyphen, Brahmi aksara
+    # (AK/AP/VI/AS), Batak VF, Dotted Circle
+    + [0x201C, 0x201D, 0x2018, 0x2019, 0x2010, 0x11005, 0x11006, 0x11003,
+       0x11046, 0x1B50, 0x1BF2, 0x25CC]
 )
 
 
