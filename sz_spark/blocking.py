@@ -107,8 +107,10 @@ def minhash_bands(
     # four waves of smaller chunks keep the tail short.
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(4 * parallelism)
+    # encode JVM-side: the Arrow batch then carries bytes and the Python
+    # worker skips a per-row str->bytes re-encode before the kernel
     bands = docs.select(
-        F.col(id_col), keys(F.col(text_col)).alias("bk")
+        F.col(id_col), keys(F.encode(F.col(text_col), "utf-8")).alias("bk")
     ).select(
         id_col,
         F.posexplode("bk").alias("band_id", "band_hash"),

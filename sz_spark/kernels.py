@@ -140,7 +140,7 @@ def fingerprints(
     ndim: int = 128,
     widths: Sequence[int] | None = None,
     seed: int = 0,
-    batch_bytes: int = 1 << 21,
+    batch_bytes: int | None = None,
     with_counts: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Rolling-hash MinHash + Count-Min fingerprints for a batch of texts.
@@ -158,6 +158,13 @@ def fingerprints(
     returned counts array is ALL ZEROS (never stale partial data) —
     hashes are identical either way.
     """
+    if batch_bytes is None:
+        # default 2^21 keeps the padded working set L2-resident for ONE
+        # worker; when many workers share a small L3, shrink via env
+        # (SZ_FP_BATCH_BYTES) — tuned by scripts/bench_fp_kernel.py
+        import os
+
+        batch_bytes = int(os.environ.get("SZ_FP_BATCH_BYTES", 1 << 21))
     params = fingerprint_params(ndim, widths, seed)
     n = len(texts)
     hashes = np.full((n, ndim), MAX_HASH_U32, dtype=np.uint32)

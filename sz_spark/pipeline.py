@@ -24,9 +24,15 @@ from sz_spark.transcripts import build_transcripts
 
 @dataclass
 class PipelineConfig:
-    ndim: int = blocking.DEFAULT_NDIM
+    # r4 measured A/B at sf0.1 (BASELINE.md): recall/F1 = 1.000000 at
+    # ndim 128/96/64 alike (the layered prefix key carries short docs),
+    # while 96 dims cut the pipeline wall ~45% — promoted per VERDICT r3
+    # #6.  64 also held on THIS corpus but 96 keeps a robustness margin
+    # for corpora whose band agreement is weaker; the blocking library
+    # default stays 128 for prefix-less corpora (blocking.DEFAULT_NDIM).
+    ndim: int = 96
     fp_widths: tuple = blocking.DEFAULT_FP_WIDTHS
-    n_bands: int = blocking.DEFAULT_BANDS
+    n_bands: int = 24
     rows_per_band: int = blocking.DEFAULT_ROWS
     seed: int = 0
     # true variants sit >= 0.96, cross-entity pairs <= 0.905 by the salt
@@ -50,11 +56,23 @@ def run_pipeline(
     cfg = cfg or PipelineConfig()
     ckpt = CheckpointManager(spark, cfg.checkpoint_dir)
 
-    docs = ckpt.stage("canonical_docs", lambda: canon.canonicalize(transcripts))
+    # Long surrogate key for every shuffle-heavy stage: the band table
+    # and the candidate-pair set are shuffled several times each, and a
+    # string conv_id costs ~3x the bytes of a long in UnsafeRow format.
+    # xxhash64 is deterministic across runs/executors; the collision
+    # probability for n docs is n^2/2^65 (~2e-9 at 1M docs — document,
+    # don't handle).  conv_id reappears only in the (small) outputs.
+    docs = ckpt.stage(
+        "canonical_docs",
+        lambda: canon.canonicalize(transcripts).withColumn(
+            "did", F.xxhash64("conv_id")
+        ),
+    )
 
     def _bands():
         return blocking.minhash_bands(
             docs,
+            id_col="did",
             ndim=cfg.ndim,
             widths=cfg.fp_widths,
             seed=cfg.seed,
@@ -66,15 +84,30 @@ def run_pipeline(
     kept, suppressed = blocking.cap_blocks(
         bands, cfg.max_block_size, salt_up_to=cfg.salt_up_to
     )
-    pairs = ckpt.stage("pairs", lambda: blocking.candidate_pairs(kept))
+    pairs = ckpt.stage("pairs", lambda: blocking.candidate_pairs(kept, id_col="did"))
+
+    id_map = docs.select("did", "conv_id")
 
     def _scored():
-        with_texts = scoring.attach_texts(pairs, docs, with_histogram=True)
+        with_texts = scoring.attach_texts(pairs, docs, id_col="did", with_histogram=True)
         pruned = scoring.length_prune(with_texts, cfg.threshold)
         pruned = scoring.histogram_prune(pruned, cfg.threshold)
-        return scoring.score_pairs(
+        out = scoring.score_pairs(
             pruned, threshold=None, bounded=cfg.threshold
         ).select("id_a", "id_b", "edit_distance", "sim")
+        # map surrogates back to conv_ids on the (small) scored output
+        return (
+            out.join(id_map.withColumnRenamed("did", "id_a"), "id_a")
+            .withColumnRenamed("conv_id", "conv_a")
+            .join(id_map.withColumnRenamed("did", "id_b"), "id_b")
+            .withColumnRenamed("conv_id", "conv_b")
+            .select(
+                F.col("conv_a").alias("id_a"),
+                F.col("conv_b").alias("id_b"),
+                "edit_distance",
+                "sim",
+            )
+        )
 
     scored = ckpt.stage("scored", _scored)
 

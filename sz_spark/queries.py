@@ -841,13 +841,14 @@ def er_minhash_bands(spark, sf):
 
 
 def _md5_band_pairs(docs: DataFrame) -> DataFrame:
-    # deliberately NOT cached: an r4 A/B at sf0.1 measured the warm gain
-    # at ~1s against a 2x COLD penalty (InMemoryRelation build) — and a
-    # never-unpersisted cache leaks storage into every later query of a
-    # shared session (the r3 driver bench's 70s er_pair_scores_lev
-    # suspect).  Recomputing the md5 band table for the self-join's
-    # second side is cheap JVM work; every registered query is now
-    # storage-residue-free by construction (test_cache_lifecycle).
+    # The band table feeds BOTH self-join sides.  .cache() is the wrong
+    # tool (r4 A/B: ~1s warm gain vs a 2x cold InMemoryRelation penalty,
+    # and a never-unpersisted cache leaks storage into every later query
+    # of a shared session — the r3 driver bench's 70s er_pair_scores_lev
+    # suspect).  localCheckpoint instead: ONE materialization, both join
+    # sides read the checkpointed blocks, and the blocks die with the
+    # result DataFrame via ContextCleaner — storage-residue-free by
+    # construction (test_cache_lifecycle).
     bands = blocking.shingle_minhash_bands(docs)
     long = bands.select(
         "conv_id",
@@ -860,6 +861,7 @@ def _md5_band_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("b"),
     ).select("conv_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh"))
+    long = long.localCheckpoint(eager=True)
     a, b = long.alias("a"), long.alias("b")
     return (
         a.join(b, ["band_id", "bh"])
@@ -1385,6 +1387,7 @@ def dedup_minhash_lsh(spark, sf):
             )
         ).alias("b"),
     ).select("conv_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh"))
+    long = long.localCheckpoint(eager=True)
     a, b = long.alias("a"), long.alias("b")
     return (
         a.join(b, ["band_id", "bh"])

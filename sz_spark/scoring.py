@@ -44,7 +44,7 @@ def attach_texts(
         F.col(text_col).alias("_doc"),
         F.length(text_col).alias("_len"),
         *(
-            [byte_histogram_udf(F.col(text_col)).alias("_hist")]
+            [byte_histogram_udf(F.encode(F.col(text_col), "utf-8")).alias("_hist")]
             if with_histogram
             else []
         ),
@@ -117,7 +117,9 @@ def score_pairs(
     parallelism = pairs_with_texts.sparkSession.sparkContext.defaultParallelism
     pairs_with_texts = pairs_with_texts.repartition(4 * parallelism)
     out = pairs_with_texts.withColumn(
-        "edit_distance", lev(F.col("doc_a"), F.col("doc_b"))
+        "edit_distance",
+        # JVM-side encode: workers get bytes, skipping per-row re-encode
+        lev(F.encode(F.col("doc_a"), "utf-8"), F.encode(F.col("doc_b"), "utf-8")),
     ).withColumn(
         "sim",
         F.lit(1.0)

