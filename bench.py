@@ -235,12 +235,16 @@ def run_weak_scaling(low: int, high: int, sf_dir: str, scale_k: int) -> list:
     import subprocess
 
     n = max(high // low, 1)
+    # cap each copy's driver JVM: n concurrent 32g heaps on a 125g box
+    # would page; the probe job itself needs far less
+    env = dict(os.environ, SZ_SPARK_DRIVER_MEM="8g")
     procs = [
         subprocess.Popen(
             _probe_cmd(low, sf_dir, scale_k),
             stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
             text=True,
+            env=env,
         )
         for _ in range(n)
     ]
