@@ -1264,10 +1264,65 @@ def szs_fingerprints(spark, sf):
     reference defaults (ndim=128, widths {3..31}, seed 0), posexploded to
     one scalar row per (doc, dim) — the driver canonicalizer cannot sort
     array<long> columns (CORRECTNESS_r01), and per-dimension rows are a
-    stronger check anyway."""
-    d = _t(spark, sf, "documents")
+    stronger check anyway.  Hash-oracled since r4: an independent DuckDB
+    ROLLING-fold re-implementation (one exact-integer list_reduce per
+    (doc, dim) carrying [state, min, count] — see SZS_FP_FULL_SQL)
+    recomputes all 128 dims value-for-value; the ASCII guard keeps
+    ord(char) == byte on both engines (the corpus is 100% ASCII, so no
+    rows drop)."""
+    d = _t(spark, sf, "documents").filter(F.col("text").rlike("^[ -~]*$"))
     fp = make_fingerprint_udf(ndim=128, widths=None, seed=0)  # reference defaults
     return _explode_fp_rows(d.withColumn("_fp", fp(F.col("text"))))
+
+
+def szs_fingerprints_full_oracle() -> str:
+    """DuckDB twin of the 128-dim flagship: per (doc, dim) ONE exact
+    int64 fold over the byte list, carrying [rolling_state, min, count]
+    — the kernel's own three-phase recurrence (prefix / boundary /
+    rolling with the non-negative discard complement,
+    fingerprints/serial.hpp:497-508) rather than the per-window
+    recompute of the _small twin, so the flagship row gets a second,
+    structurally different independent implementation.  All
+    intermediates fit int64: state*mult + 257 + disc*257 < 2^52."""
+    from sz_spark.kernels import MAX_HASH_U32, fingerprint_params
+
+    p = fingerprint_params(128, None, 0)
+    dims_rows = ",\n".join(
+        f"({d}, {int(p.widths[d])}, {int(p.mod[d])}, {int(p.mult[d])}, {int(p.disc[d])})"
+        for d in range(128)
+    )
+    roll = "(acc[1] * mul + bs[x[1]] + 1 + disc * (bs[x[1] - w] + 1)) % m"
+    pre = "(acc[1] * mul + bs[x[1]] + 1) % m"
+    return f"""
+WITH src AS (SELECT doc_id, text AS t FROM documents
+             WHERE regexp_matches(text, '^[ -~]*$')),
+b AS (SELECT doc_id, list_transform(range(1, length(t) + 1),
+             j -> ord(substr(t, j::INT, 1))::BIGINT) AS bs FROM src),
+dims(dim, w, m, mul, disc) AS (VALUES {dims_rows}),
+folded AS (
+  SELECT doc_id, dim,
+    CASE WHEN len(bs) < w THEN NULL
+    ELSE list_reduce(
+      list_concat([[0::BIGINT, -1::BIGINT, 0::BIGINT]],
+                  list_transform(range(1, len(bs) + 1), j -> [j::BIGINT])),
+      (acc, x) -> CASE
+        WHEN x[1] < w THEN [{pre}, -1::BIGINT, 0::BIGINT]
+        WHEN x[1] = w THEN [{pre}, {pre}, 1::BIGINT]
+        ELSE [
+          {roll},
+          least(acc[2], {roll}),
+          CASE WHEN {roll} < acc[2] THEN 1
+               WHEN {roll} = acc[2] THEN acc[3] + 1
+               ELSE acc[3] END]
+      END)
+    END AS st
+  FROM b CROSS JOIN dims
+)
+SELECT doc_id, dim,
+       CASE WHEN st IS NULL THEN {MAX_HASH_U32} ELSE st[2] & {MAX_HASH_U32} END AS min_hash,
+       CASE WHEN st IS NULL THEN 0 ELSE st[3] END AS min_count
+FROM folded
+"""
 
 
 def _explode_fp_rows(with_fp: DataFrame) -> DataFrame:
@@ -1536,7 +1591,7 @@ REGISTRY: dict[str, tuple] = {
     "szs_needleman_wunsch": (szs_needleman_wunsch, SZS_NW_SQL),
     "szs_smith_waterman": (szs_smith_waterman, SZS_SW_SQL),
     "szs_nw_class_costs": (szs_nw_class_costs, SZS_NW_CLASS_SQL),
-    "szs_fingerprints": (szs_fingerprints, None),
+    "szs_fingerprints": (szs_fingerprints, szs_fingerprints_full_oracle()),
     "szs_fingerprints_small": (szs_fingerprints_small, szs_fingerprints_small_oracle()),
     "szs_hash_multiseed": (szs_hash_multiseed, SZS_MULTISEED_SQL),
     # --- LLM-training-data pipeline operators ---
