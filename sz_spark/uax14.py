@@ -18,11 +18,11 @@ Class derivation: the newest-TR14 AK/AP/AS/VF/VI/HH runs (decoded from
 the reference's UCD-17 tables) first, then vendored range/selector
 lists for the classes the UCD's LineBreak.txt enumerates (public
 data), with unicodedata categories as the fallback partition; LB1's
-SA/AI/CJ/XX remaps are applied in the classifier.  Remaining
-documented deltas vs the reference chain: classic LB19/LB30 (the
-East-Asian-width refinements are not modeled), no CB class (LB20 and
-the CB members of LB15a/LB20a contexts), LB30b without the
-ExtPict&Cn clause.
+SA/AI/CJ/XX remaps are applied in the classifier.  Since r4's
+second pass the chain is REFERENCE-COMPLETE: East-Asian-aware
+LB19/LB30 (EAW flag decoded from the reference tables), the CB class
+with LB20, and LB30b's unassigned-ExtPict clause are all live; the
+conformance sweep runs with ZERO class folds.
 """
 
 from __future__ import annotations
@@ -40,8 +40,8 @@ from sz_spark.uax29 import _HEBREW_RANGES, _in_ranges, is_extended_pictographic
     LB_ZWJ, LB_B2, LB_BA, LB_BB, LB_HY, LB_CL, LB_CP, LB_EX, LB_IN, LB_NS,
     LB_OP, LB_QU, LB_IS, LB_NU, LB_PO, LB_PR, LB_SY, LB_HL, LB_ID, LB_EB,
     LB_EM, LB_RI, LB_JL, LB_JV, LB_JT, LB_H2, LB_H3,
-    LB_AK, LB_AP, LB_AS, LB_VF, LB_VI, LB_HH,
-) = range(43)
+    LB_AK, LB_AP, LB_AS, LB_VF, LB_VI, LB_HH, LB_CB,
+) = range(44)
 
 #: Dotted Circle U+25CC — acts as an aksara base in LB28a.
 DOTTED_CIRCLE = 0x25CC
@@ -141,6 +141,7 @@ _TR14_RUNS = (
     (0x0A9D0, 0x0A9D9, LB_AS),
     (0x0AA00, 0x0AA28, LB_AS),
     (0x0AA50, 0x0AA59, LB_AS),
+    (0x0FFFC, 0x0FFFC, LB_CB),
     (0x10D6E, 0x10D6E, LB_HH),
     (0x10EAD, 0x10EAD, LB_HH),
     (0x11003, 0x11004, LB_AP),
@@ -186,6 +187,203 @@ _TR14_RUNS = (
 )
 
 _TR14_STARTS = tuple(r[0] for r in _TR14_RUNS)
+
+# East-Asian-Width F/W/H flag (reference descriptor bit 8, decoded from
+# utf8_linebreaks/tables.h — public UCD EastAsianWidth.txt data): the
+# LB19 quotation refinement and LB30's bracket exception consult it.
+_EAW_RUNS = (
+    (0x01100, 0x0115F),
+    (0x020A9, 0x020A9),
+    (0x0231A, 0x0231B),
+    (0x02329, 0x0232A),
+    (0x023E9, 0x023EC),
+    (0x023F0, 0x023F0),
+    (0x023F3, 0x023F3),
+    (0x025FD, 0x025FE),
+    (0x02614, 0x02615),
+    (0x02630, 0x02637),
+    (0x02648, 0x02653),
+    (0x0267F, 0x0267F),
+    (0x0268A, 0x0268F),
+    (0x02693, 0x02693),
+    (0x026A1, 0x026A1),
+    (0x026AA, 0x026AB),
+    (0x026BD, 0x026BE),
+    (0x026C4, 0x026C5),
+    (0x026CE, 0x026CE),
+    (0x026D4, 0x026D4),
+    (0x026EA, 0x026EA),
+    (0x026F2, 0x026F3),
+    (0x026F5, 0x026F5),
+    (0x026FA, 0x026FA),
+    (0x026FD, 0x026FD),
+    (0x02705, 0x02705),
+    (0x0270A, 0x0270B),
+    (0x02728, 0x02728),
+    (0x0274C, 0x0274C),
+    (0x0274E, 0x0274E),
+    (0x02753, 0x02755),
+    (0x02757, 0x02757),
+    (0x02795, 0x02797),
+    (0x027B0, 0x027B0),
+    (0x027BF, 0x027BF),
+    (0x02B1B, 0x02B1C),
+    (0x02B50, 0x02B50),
+    (0x02B55, 0x02B55),
+    (0x02E80, 0x02E99),
+    (0x02E9B, 0x02EF3),
+    (0x02F00, 0x02FD5),
+    (0x02FF0, 0x0303E),
+    (0x03041, 0x03096),
+    (0x03099, 0x030FF),
+    (0x03105, 0x0312F),
+    (0x03131, 0x0318E),
+    (0x03190, 0x031E5),
+    (0x031EF, 0x0321E),
+    (0x03220, 0x03247),
+    (0x03250, 0x0A48C),
+    (0x0A490, 0x0A4C6),
+    (0x0A960, 0x0A97C),
+    (0x0AC00, 0x0D7A3),
+    (0x0F900, 0x0FAFF),
+    (0x0FE10, 0x0FE19),
+    (0x0FE30, 0x0FE52),
+    (0x0FE54, 0x0FE66),
+    (0x0FE68, 0x0FE6B),
+    (0x0FF01, 0x0FFBE),
+    (0x0FFC2, 0x0FFC7),
+    (0x0FFCA, 0x0FFCF),
+    (0x0FFD2, 0x0FFD7),
+    (0x0FFDA, 0x0FFDC),
+    (0x0FFE0, 0x0FFE6),
+    (0x0FFE8, 0x0FFEE),
+    (0x16FE0, 0x16FE4),
+    (0x16FF0, 0x16FF6),
+    (0x17000, 0x18CD5),
+    (0x18CFF, 0x18D1E),
+    (0x18D80, 0x18DF2),
+    (0x1AFF0, 0x1AFF3),
+    (0x1AFF5, 0x1AFFB),
+    (0x1AFFD, 0x1AFFE),
+    (0x1B000, 0x1B122),
+    (0x1B132, 0x1B132),
+    (0x1B150, 0x1B152),
+    (0x1B155, 0x1B155),
+    (0x1B164, 0x1B167),
+    (0x1B170, 0x1B2FB),
+    (0x1D300, 0x1D356),
+    (0x1D360, 0x1D376),
+    (0x1F004, 0x1F004),
+    (0x1F0CF, 0x1F0CF),
+    (0x1F18E, 0x1F18E),
+    (0x1F191, 0x1F19A),
+    (0x1F200, 0x1F202),
+    (0x1F210, 0x1F23B),
+    (0x1F240, 0x1F248),
+    (0x1F250, 0x1F251),
+    (0x1F260, 0x1F265),
+    (0x1F300, 0x1F320),
+    (0x1F32D, 0x1F335),
+    (0x1F337, 0x1F37C),
+    (0x1F37E, 0x1F393),
+    (0x1F3A0, 0x1F3CA),
+    (0x1F3CF, 0x1F3D3),
+    (0x1F3E0, 0x1F3F0),
+    (0x1F3F4, 0x1F3F4),
+    (0x1F3F8, 0x1F43E),
+    (0x1F440, 0x1F440),
+    (0x1F442, 0x1F4FC),
+    (0x1F4FF, 0x1F53D),
+    (0x1F54B, 0x1F54E),
+    (0x1F550, 0x1F567),
+    (0x1F57A, 0x1F57A),
+    (0x1F595, 0x1F596),
+    (0x1F5A4, 0x1F5A4),
+    (0x1F5FB, 0x1F64F),
+    (0x1F680, 0x1F6C5),
+    (0x1F6CC, 0x1F6CC),
+    (0x1F6D0, 0x1F6D2),
+    (0x1F6D5, 0x1F6D8),
+    (0x1F6DC, 0x1F6DF),
+    (0x1F6EB, 0x1F6EC),
+    (0x1F6F4, 0x1F6FC),
+    (0x1F7E0, 0x1F7EB),
+    (0x1F7F0, 0x1F7F0),
+    (0x1F90C, 0x1F93A),
+    (0x1F93C, 0x1F945),
+    (0x1F947, 0x1F9FF),
+    (0x1FA70, 0x1FA7C),
+    (0x1FA80, 0x1FA8A),
+    (0x1FA8E, 0x1FAC6),
+    (0x1FAC8, 0x1FAC8),
+    (0x1FACD, 0x1FADC),
+    (0x1FADF, 0x1FAEA),
+    (0x1FAEF, 0x1FAF8),
+    (0x20000, 0x2FFFD),
+    (0x30000, 0x3FFFD),
+)
+_EAW_STARTS = tuple(r[0] for r in _EAW_RUNS)
+
+# Unassigned Extended_Pictographic (reference descriptor bit 9):
+# the second LB30b clause.
+_EPCN_RUNS = (
+    (0x1F02C, 0x1F02F),
+    (0x1F094, 0x1F09F),
+    (0x1F0AF, 0x1F0B0),
+    (0x1F0C0, 0x1F0C0),
+    (0x1F0D0, 0x1F0D0),
+    (0x1F0F6, 0x1F0FF),
+    (0x1F1AE, 0x1F1E5),
+    (0x1F203, 0x1F20F),
+    (0x1F23C, 0x1F23F),
+    (0x1F249, 0x1F24F),
+    (0x1F252, 0x1F25F),
+    (0x1F266, 0x1F2FF),
+    (0x1F6D9, 0x1F6DB),
+    (0x1F6ED, 0x1F6EF),
+    (0x1F6FD, 0x1F6FF),
+    (0x1F7DA, 0x1F7DF),
+    (0x1F7EC, 0x1F7EF),
+    (0x1F7F1, 0x1F7FF),
+    (0x1F80C, 0x1F80F),
+    (0x1F848, 0x1F84F),
+    (0x1F85A, 0x1F85F),
+    (0x1F888, 0x1F88F),
+    (0x1F8AE, 0x1F8AF),
+    (0x1F8BC, 0x1F8BF),
+    (0x1F8C2, 0x1F8CF),
+    (0x1F8D9, 0x1F8FF),
+    (0x1FA58, 0x1FA5F),
+    (0x1FA6E, 0x1FA6F),
+    (0x1FA7D, 0x1FA7F),
+    (0x1FA8B, 0x1FA8D),
+    (0x1FAC7, 0x1FAC7),
+    (0x1FAC9, 0x1FACC),
+    (0x1FADD, 0x1FADE),
+    (0x1FAEB, 0x1FAEE),
+    (0x1FAF9, 0x1FAFF),
+    (0x1FC00, 0x1FFFD),
+)
+_EPCN_STARTS = tuple(r[0] for r in _EPCN_RUNS)
+
+
+def _in_runs(starts, runs, cp):
+    import bisect
+
+    i = bisect.bisect_right(starts, cp) - 1
+    return i >= 0 and runs[i][0] <= cp <= runs[i][1]
+
+
+def is_east_asian(cp: int) -> bool:
+    """East_Asian_Width F/W/H (LB19/LB30 refinements)."""
+    return _in_runs(_EAW_STARTS, _EAW_RUNS, cp)
+
+
+def is_extpict_cn(cp: int) -> bool:
+    """Unassigned Extended_Pictographic (LB30b second clause)."""
+    return _in_runs(_EPCN_STARTS, _EPCN_RUNS, cp)
+
+
 
 
 _LB_OVERRIDE_RUNS = (
@@ -840,8 +1038,8 @@ _LB15A_LEFT = frozenset((LB_BK, LB_CR, LB_LF, LB_NL, LB_OP, LB_QU, LB_GL, LB_SP,
 #: allowed right context for LB15b (reference serial.h:316-337)
 _LB15B_RIGHT = frozenset((LB_SP, LB_GL, LB_WJ, LB_CL, LB_QU, LB_CP, LB_EX,
                           LB_IS, LB_SY, LB_BK, LB_CR, LB_LF, LB_NL, LB_ZW))
-#: allowed context two-left for LB20a (reference serial.h:371-386; CB omitted)
-_LB20A_LEFT = frozenset((LB_BK, LB_CR, LB_LF, LB_NL, LB_SP, LB_ZW, LB_GL))
+#: allowed context two-left for LB20a (reference serial.h:371-386)
+_LB20A_LEFT = frozenset((LB_BK, LB_CR, LB_LF, LB_NL, LB_SP, LB_ZW, LB_GL, LB_CB))
 
 
 def _quote_side(cp: int) -> int:
@@ -855,10 +1053,9 @@ def _quote_side(cp: int) -> int:
 def _break_allowed(cps, starts, classes, k: int) -> bool:
     """Whether a break opportunity exists before cluster k (k >= 1) —
     the newest-TR14 chain of reference serial.h:244-510 over collapsed
-    clusters, first match wins.  Documented deltas: classic LB19
-    (quotes glue unconditionally; the East-Asian-width refinement is
-    not modeled), no CB class (LB20/LB20a's CB contexts), classic LB30
-    (no EAW refinement), LB30b without the ExtPict&Cn clause."""
+    clusters, first match wins — reference-complete, including the
+    East-Asian-aware LB19/LB30, LB20 CB and LB30b's ExtPict&Cn
+    clause."""
     n_cl = len(starts)
     b, a = classes[k - 1], classes[k]
     base_b, base_a = cps[starts[k - 1]], cps[starts[k]]
@@ -914,8 +1111,25 @@ def _break_allowed(cps, starts, classes, k: int) -> bool:
         return False  # LB17
     if b == LB_SP:
         return True  # LB18
-    if a == LB_QU or b == LB_QU:
-        return False  # LB19 (classic; EAW-aware variant not modeled)
+    # LB19 (East-Asian-aware quotation, reference serial.h:352-369):
+    # a quote glues unless BOTH sides sit in East-Asian context and the
+    # quote is a directional Pi/Pf
+    if a == LB_QU:
+        if _quote_side(base_a) != 1:
+            return False  # x [QU - Pi]
+        if not is_east_asian(base_b):
+            return False  # [^EAW] x QU&Pi
+        if k + 1 >= n_cl or not is_east_asian(cps[starts[k + 1]]):
+            return False  # QU&Pi not followed by EAW (or eot)
+    if b == LB_QU:
+        if _quote_side(base_b) != 2:
+            return False  # [QU - Pf] x
+        if not is_east_asian(base_a):
+            return False  # QU&Pf x [^EAW]
+        if k < 2 or not is_east_asian(cps[starts[k - 2]]):
+            return False  # no EAW before the QU&Pf (or sot)
+    if a == LB_CB or b == LB_CB:
+        return True  # LB20: break around contingent-break objects
     # LB20a: (sot | allowed) (HY | HH) x (AL | HL)
     if (
         b in (LB_HY, LB_HH)
@@ -991,9 +1205,9 @@ def _break_allowed(cps, starts, classes, k: int) -> bool:
         return False  # LB28a.4: (AK | DottedCircle | AS) x (AK | DottedCircle | AS) VF
     if b == LB_IS and a in (LB_AL, LB_HL):
         return False  # LB29
-    if b in (LB_AL, LB_HL, LB_NU) and a == LB_OP:
-        return False  # LB30
-    if b == LB_CP and a in (LB_AL, LB_HL, LB_NU):
+    if b in (LB_AL, LB_HL, LB_NU) and a == LB_OP and not is_east_asian(base_a):
+        return False  # LB30 (East-Asian brackets excepted)
+    if b == LB_CP and a in (LB_AL, LB_HL, LB_NU) and not is_east_asian(base_b):
         return False  # LB30
     if b == LB_RI and a == LB_RI:
         run = 0
@@ -1005,6 +1219,8 @@ def _break_allowed(cps, starts, classes, k: int) -> bool:
             return False  # LB30a: pair up RIs
     if b == LB_EB and a == LB_EM:
         return False  # LB30b
+    if a == LB_EM and is_extpict_cn(base_b):
+        return False  # LB30b: unassigned Extended_Pictographic base
     return True  # LB31
 
 

@@ -59,6 +59,10 @@ _EP_STARTS = np.asarray(_T.EXTPICT_STARTS, dtype=np.int64)
 _EP_PROPS = np.asarray(_T.EXTPICT_PROPS, dtype=np.int8)
 _QS_STARTS = np.asarray(_T.QSIDE_STARTS, dtype=np.int64)
 _QS_PROPS = np.asarray(_T.QSIDE_PROPS, dtype=np.int8)
+_EAW_STARTS = np.asarray(_T.EAW_STARTS, dtype=np.int64)
+_EAW_PROPS = np.asarray(_T.EAW_PROPS, dtype=np.int8)
+_EPCN_STARTS = np.asarray(_T.EPCN_STARTS, dtype=np.int64)
+_EPCN_PROPS = np.asarray(_T.EPCN_PROPS, dtype=np.int8)
 
 
 def _bmp_lut(starts: np.ndarray, props: np.ndarray) -> np.ndarray:
@@ -89,6 +93,8 @@ _GCB_BMP = _bmp_lut(_GCB_STARTS, _GCB_PROPS)
 _INCB_BMP = _bmp_lut(_INCB_STARTS, _INCB_PROPS)
 _EP_BMP = _bmp_lut(_EP_STARTS, _EP_PROPS)
 _QS_BMP = _bmp_lut(_QS_STARTS, _QS_PROPS)
+_EAW_BMP = _bmp_lut(_EAW_STARTS, _EAW_PROPS)
+_EPCN_BMP = _bmp_lut(_EPCN_STARTS, _EPCN_PROPS)
 
 
 def wb_props(cps):
@@ -120,6 +126,16 @@ def qside_props(cps):
     return _lookup(_QS_STARTS, _QS_PROPS, cps, _QS_BMP)
 
 
+def eaw_flags(cps):
+    """East_Asian_Width F/W/H flag (LB19/LB30 refinements)."""
+    return _lookup(_EAW_STARTS, _EAW_PROPS, cps, _EAW_BMP).astype(bool)
+
+
+def epcn_flags(cps):
+    """Unassigned Extended_Pictographic flag (LB30b second clause)."""
+    return _lookup(_EPCN_STARTS, _EPCN_PROPS, cps, _EPCN_BMP).astype(bool)
+
+
 # --- small class-code LUTs (indexed by property code) -----------------------
 
 
@@ -140,7 +156,7 @@ _SB_IGN = _lut(15, (_W.S_EXTEND, _W.S_FORMAT))
 _SB_PARA = _lut(15, (_W.S_SEP, _W.S_CR, _W.S_LF))
 _SB_BLOCK = _lut(15, _W._SB8_BLOCKERS)
 
-_NLB = 43  # Line_Break classes incl. the newest-TR14 AK/AP/AS/VF/VI/HH
+_NLB = 44  # Line_Break classes incl. newest-TR14 AK/AP/AS/VF/VI/HH + CB
 _LB_NONABS = _lut(_NLB, (_L.LB_BK, _L.LB_CR, _L.LB_LF, _L.LB_NL, _L.LB_SP, _L.LB_ZW))
 _LB_MAND = _lut(_NLB, (_L.LB_BK, _L.LB_CR, _L.LB_LF, _L.LB_NL))
 _LB_ATTACH = _lut(_NLB, (_L.LB_CM, _L.LB_ZWJ))
@@ -517,7 +533,8 @@ def grapheme_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
 
 
 # ctx-rule BITS for the LB pair table, in chain order (walker below)
-_LCB_15A, _LCB_15B, _LCB_20A, _LCB_21A, _LCB_28A, _LCB_RI = (1 << i for i in range(6))
+(_LCB_15A, _LCB_15B, _LCB_20A, _LCB_21A, _LCB_28A, _LCB_RI, _LCB_19,
+ _LCB_30R, _LCB_30L, _LCB_30CN) = (1 << i for i in range(10))
 _LCSP = 3  # ACTION marker: B == SP, resolved by the space mini-cascade
 
 
@@ -578,7 +595,9 @@ def _build_lb_pair_tables():
         if b == L.LB_B2 and a == L.LB_B2:
             yield "T", 0  # LB17
         if a == L.LB_QU or b == L.LB_QU:
-            yield "T", 0  # LB19 (classic; EAW refinement not modeled)
+            yield "C", _LCB_19  # LB19 (East-Asian-aware quotation)
+        if a == L.LB_CB or b == L.LB_CB:
+            yield "T", 1  # LB20: break around contingent-break objects
         if b in hyhh and a in alhl:
             yield "C", _LCB_20A  # LB20a: allowed two-left
         if a in (L.LB_BA, L.LB_HY, L.LB_HH, L.LB_NS):
@@ -631,13 +650,15 @@ def _build_lb_pair_tables():
         if b == L.LB_IS and a in alhl:
             yield "T", 0  # LB29
         if (b in alhl or b == L.LB_NU) and a == L.LB_OP:
-            yield "T", 0  # LB30
+            yield "C", _LCB_30R  # LB30: unless the OP is East-Asian
         if b == L.LB_CP and (a in alhl or a == L.LB_NU):
-            yield "T", 0  # LB30
+            yield "C", _LCB_30L  # LB30: unless the CP is East-Asian
         if b == L.LB_RI and a == L.LB_RI:
             yield "C", _LCB_RI  # LB30a
         if b == L.LB_EB and a == L.LB_EM:
             yield "T", 0  # LB30b
+        if a == L.LB_EM:
+            yield "C", _LCB_30CN  # LB30b: unassigned-ExtPict base
         yield "T", 1  # LB31
 
     act = np.full((_NLB, _NLB), 1, dtype=np.int8)
@@ -769,6 +790,29 @@ def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None
             # LB15b
             ctx_rule(_LCB_15B, lambda: (qside[1:] == 2)
                      & ((ahead < 0) | _LB15B_RIGHT[np.maximum(ahead, 0)]))
+
+            # LB19 (East-Asian-aware): a quote glues unless both sides
+            # are East-Asian context and the quote is directional Pi/Pf
+            def lb19_cond():
+                eaw = eaw_flags(base_cps)
+                eawB, eawA = eaw[:-1], eaw[1:]
+                eaw_ahead = np.zeros(K - 1, dtype=bool)
+                eaw_ahead[:-1] = eaw[2:]
+                eaw_prev2 = np.zeros(K - 1, dtype=bool)
+                if K > 2:
+                    eaw_prev2[1:] = eaw[:-2]
+                aq = A == _L.LB_QU
+                bq = B == _L.LB_QU
+                return (
+                    (aq & (qside[1:] != 1))
+                    | (bq & (qside[:-1] != 2))
+                    | (aq & ~eawB)
+                    | (aq & ~eaw_ahead)
+                    | (bq & ~eawA)
+                    | (bq & ~eaw_prev2)
+                )
+
+            ctx_rule(_LCB_19, lb19_cond)
             # LB20a: (sot|allowed) (HY|HH) x (AL|HL)
             ctx_rule(_LCB_20A, lambda: (c2 < 0) | _LB20A_LEFT[np.maximum(c2, 0)])
             # LB21a: HL (HY|HH) x [^HL]
@@ -790,11 +834,23 @@ def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None
                 return r1 | r2 | r3 | r4
 
             ctx_rule(_LCB_28A, lb28a_cond)
+            # LB30: bracket joins unless the bracket is East-Asian
+            need_30 = pending & ((bits & (_LCB_30R | _LCB_30L)) != 0)
+            if need_30.any():
+                eaw30 = eaw_flags(base_cps)
+                ctx_rule(_LCB_30R, lambda: ~eaw30[1:])
+                ctx_rule(_LCB_30L, lambda: ~eaw30[:-1])
             # LB30a: RI pair parity
             ri_bit = pending & ((bits & _LCB_RI) != 0)
             if ri_bit.any():
                 ri_run = _run_ending_incl(ccls == _L.LB_RI, k_idx)
                 ok = ri_bit & (ri_run[:-1] % 2 == 1)
+                d[ok] = 0
+                pending[ok] = False
+            # LB30b second clause: unassigned-ExtPict base x EM
+            cn_bit = pending & ((bits & _LCB_30CN) != 0)
+            if cn_bit.any():
+                ok = cn_bit & epcn_flags(base_cps)[:-1]
                 d[ok] = 0
                 pending[ok] = False
             d[pending] = _LB_DFT[B[pending], A[pending]]

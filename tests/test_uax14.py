@@ -124,10 +124,9 @@ def test_line_break_class_full_unicode_conformance():
     reference's UCD-17-generated tables (utf8_linebreaks/tables.h:
     palette descriptors + big ranges + page LUT + BMP trie + astral
     ranges, decoded exactly as serial.h sz_rune_line_break_property).
-    The newest-TR14 classes AK/AP/AS/VF/VI/HH are compared UNFOLDED
-    since round 4; the only remaining fold is CB -> AL (no
-    inline-object class in a text corpus).  Skipped when the reference
-    checkout is absent."""
+    Since round 4's second pass the comparison runs with ZERO folds —
+    every reference class incl. AK/AP/AS/VF/VI/HH and CB is modeled.
+    Skipped when the reference checkout is absent."""
     import os
     import re
 
@@ -196,8 +195,8 @@ def test_line_break_class_full_unicode_conformance():
              m.LB_EM: 32, m.LB_RI: 40, m.LB_JL: 37, m.LB_JV: 38, m.LB_JT: 39,
              m.LB_H2: 33, m.LB_H3: 34,
              m.LB_AK: 43, m.LB_AP: 44, m.LB_AS: 45, m.LB_VF: 46, m.LB_VI: 47,
-             m.LB_HH: 48}
-    fold = {15: 29}  # CB -> AL: the one class still not modeled
+             m.LB_HH: 48, m.LB_CB: 15}
+    fold = {}  # every reference Line_Break class is modeled
     bad = []
     for cp in range(0x110000):
         if 0xD800 <= cp <= 0xDFFF:
@@ -275,3 +274,25 @@ def test_tr14_lb28a_aksara():
     assert lb(f"{DC}{VI}") == [f"{DC}{VI}"]
     # two bare AK with no virama context still break (LB31)
     assert lb(f"{AK}{AK2}") == [AK, AK2]
+
+
+def test_tr14_cb_eaw_lb19_lb30_lb30b():
+    """Second r4 pass: the chain is reference-complete — CB/LB20,
+    East-Asian-aware LB19/LB30 (EAW flag decoded from the reference
+    tables), LB30b's unassigned-ExtPict clause."""
+    CB = chr(0xFFFC)
+    # LB20: break on both sides of a contingent-break object
+    assert lb(f"ab{CB}cd") == ["ab", CB, "cd"]
+    PI, PF = chr(0x201C), chr(0x201D)
+    # LB19: quotes glue in Latin context ...
+    assert lb(f"a{PI}b") == [f"a{PI}b"]
+    # ... but an EA-flanked directional quote allows the break
+    assert lb("中" + PI + "文" + PF + "话") == ["中", PI + "文" + PF, "话"]
+    # LB30: ASCII bracket joins, fullwidth (EAW) bracket does not
+    assert lb("ab(x") == ["ab(x"]
+    assert lb("ab" + chr(0xFF08) + "x") == ["ab", chr(0xFF08) + "x"]
+    # LB30b second clause: unassigned ExtPict x EM glues
+    assert lb(chr(0x1F02C) + chr(0x1F3FB)) == [chr(0x1F02C) + chr(0x1F3FB)]
+    # ID (assigned, non-EB pictograph has its own EB test above) x EM
+    # without the flag still breaks
+    assert lb(chr(0x4E2D) + chr(0x1F3FB)) == [chr(0x4E2D), chr(0x1F3FB)]
