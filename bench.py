@@ -288,11 +288,40 @@ def main() -> None:
     # (er_pair_scores_lev 74-181 s with it vs 12-18 s without).
     spark.stop()
 
+    # ---- full-document segmentation throughput ---------------------------
+    # The str_segmentation_ops driver row runs on substring slices for
+    # deterministic cross-engine checks; this measures the vectorized
+    # engines (sz_spark.uax_vec) over the WHOLE document corpus so the
+    # recorded number reflects full-document cost (VERDICT r3 wrong #4).
+    try:
+        import pyarrow.parquet as pq
+
+        from sz_spark import uax_vec as _V
+
+        _texts = pq.read_table(f"{SF_DIR}/documents.parquet").column("text").to_pylist()
+        _total_mb = sum(len(t) for t in _texts) / 1e6
+        seg_mbs = {}
+        for _name, _fn in (
+            ("words", _V.count_words_batch),
+            ("sentences", _V.count_sentences_batch),
+            ("graphemes", _V.count_graphemes_batch),
+            ("linebreaks", lambda ts: _V.count_linebreaks_batch(ts)[0]),
+        ):
+            _best = float("inf")
+            for _ in range(3):
+                _t0 = time.time()
+                _fn(_texts)
+                _best = min(_best, time.time() - _t0)
+            seg_mbs[_name] = round(_total_mb / _best, 2)
+        log(f"[bench] full-doc segmentation MB/s (1 core): {seg_mbs}")
+    except Exception as exc:  # never fail the bench for the extra
+        seg_mbs = {"error": str(exc)[:200]}
+
     # ---- scaling probe ---------------------------------------------------
     # calibrate the machine ceiling FIRST (cold, before Spark heats the
     # box); then low, then high, with a short cooldown between runs —
     # wall-clock on this box is thermally noisy (~±20%)
-    extras: dict = {}
+    extras: dict = {"segmentation_mb_per_s_1core": seg_mbs}
     if not os.environ.get("BENCH_SKIP_SCALING"):
         time.sleep(45)  # let the box cool after the headline queries
         ceiling = machine_scaling_ceiling(LOW, HIGH)
@@ -325,7 +354,7 @@ def main() -> None:
             if ceiling["ceiling_efficiency"] > 0
             else None
         )
-        extras = {
+        extras |= {
             "scaling_low": low,
             "scaling_high": high,
             "scaling_high_runs": [h["wall_sec"] for h in highs],
