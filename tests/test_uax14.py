@@ -296,3 +296,67 @@ def test_tr14_cb_eaw_lb19_lb30_lb30b():
     # ID (assigned, non-EB pictograph has its own EB test above) x EM
     # without the flag still breaks
     assert lb(chr(0x4E2D) + chr(0x1F3FB)) == [chr(0x4E2D), chr(0x1F3FB)]
+
+
+def test_eaw_epcn_flags_full_unicode_conformance():
+    """The vendored East_Asian_Width and unassigned-ExtPict flag runs
+    (LB19/LB30/LB30b refinements) == the reference descriptors' bit 8 /
+    bit 9 at every codepoint.  Skipped without the reference checkout."""
+    import os
+    import re
+
+    import pytest
+
+    path = "/root/reference/include/stringzilla/utf8_linebreaks/tables.h"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    src = open(path).read()
+
+    def arr(name, n):
+        m = re.search(re.escape(name) + r"_\[[0-9xA-Fa-f]*\] = \{(.*?)\};", src, re.S)
+        toks = re.findall(r"0x[0-9A-Fa-f]+|\d+", m.group(1))
+        v = [int(x, 16) if x.startswith("0x") else int(x) for x in toks]
+        assert len(v) == n
+        return v
+
+    palette = arr("sz_utf8_line_break_palette", 62)
+    big_lo = arr("sz_utf8_line_break_big_lo", 50)
+    big_hi = arr("sz_utf8_line_break_big_hi", 50)
+    big_idx = arr("sz_utf8_line_break_big_idx", 50)
+    page_lut = arr("sz_utf8_line_break_page_lut", 0x800)
+    trie_leaf = arr("sz_utf8_line_break_trie_leaf", 2248)
+    trie_l2 = arr("sz_utf8_line_break_trie_l2", 1168)
+    trie_l1 = arr("sz_utf8_line_break_trie_l1", 992)
+    astral_lo = arr("sz_utf8_line_break_astral_lo", 618)
+    astral_hi = arr("sz_utf8_line_break_astral_hi", 618)
+    astral_idx = arr("sz_utf8_line_break_astral_idx", 618)
+
+    def ref_desc(cp):
+        for i in range(50):
+            if big_lo[i] <= cp <= big_hi[i]:
+                return palette[big_idx[i]]
+        if cp < 0x800:
+            return palette[page_lut[cp]]
+        if cp < 0x10000:
+            off = cp - 0x800
+            block = off // 8
+            l1 = trie_l1[block // 8]
+            leaf = trie_l2[l1 * 8 + block % 8]
+            return palette[trie_leaf[leaf * 8 + off % 8]]
+        for i in range(618):
+            if astral_lo[i] <= cp <= astral_hi[i]:
+                return palette[astral_idx[i]]
+        return palette[0]
+
+    from sz_spark.uax14 import is_east_asian, is_extpict_cn
+
+    bad = []
+    for cp in range(0x110000):
+        d = ref_desc(cp)
+        if is_east_asian(cp) != bool((d >> 8) & 1):
+            bad.append(("eaw", cp))
+        if is_extpict_cn(cp) != bool((d >> 9) & 1):
+            bad.append(("epcn", cp))
+        if len(bad) > 10:
+            break
+    assert not bad, f"flag divergences: {[(k, hex(c)) for k, c in bad[:10]]}"
