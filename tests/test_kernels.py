@@ -427,3 +427,93 @@ def test_sha256_and_hmac_incremental():
         _ = mid.digest()
         mid.update(data[20:])
         assert mid.digest() == ref.digest()
+
+
+def test_gotoh_sql_oracle_random_differential():
+    """The DuckDB Gotoh twin (queries.gotoh_sql_expr — flat-list nested
+    list_reduce) equals the production kernels on RANDOM string pairs,
+    not just the corpus shapes the driver checks: unit-sub minimize at
+    open=2/extend=1 vs levenshtein_batch, and the vowel/consonant +5/-4
+    maximize at open=-2/extend=-1 vs needleman_wunsch_batch."""
+    import random
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from sz_spark.kernels import (
+        expand_class_costs,
+        levenshtein_batch,
+        needleman_wunsch_batch,
+    )
+    from sz_spark.queries import gotoh_sql_expr
+
+    rng = random.Random(20260817)
+    alphabet = "abcdefgiou xyz"
+    pairs = []
+    for _ in range(120):
+        la, lb = rng.randrange(0, 30), rng.randrange(0, 30)
+        pairs.append((
+            "".join(rng.choice(alphabet) for _ in range(la)),
+            "".join(rng.choice(alphabet) for _ in range(lb)),
+        ))
+    con = duckdb.connect()
+    con.register("p", pd.DataFrame(pairs, columns=["ta", "tb"]))
+
+    def run(sub, o, x, minimize):
+        expr = gotoh_sql_expr("ta", "tb", o, x, sub, minimize)
+        lng = "greatest(length(ta), length(tb))"
+        q = f"""SELECT CASE WHEN length(ta) = 0 OR length(tb) = 0
+                 THEN CASE WHEN {lng} = 0 THEN 0 ELSE {o} + ({lng} - 1) * {x} END
+                 ELSE {expr} END FROM p"""
+        return [r[0] for r in con.execute(q).fetchall()]
+
+    a = [t.encode() for t, _ in pairs]
+    b = [t.encode() for _, t in pairs]
+
+    sub_lev = "CASE WHEN substr(ta, x2[1]::INT, 1) = substr(tb, x[1]::INT, 1) THEN 0 ELSE 1 END"
+    got = run(sub_lev, 2, 1, True)
+    exp = levenshtein_batch(a, b, gap_open=2, gap_extend=1)
+    assert got == [int(v) for v in exp]
+
+    vow = "('a','e','i','o','u')"
+    sub_nw = (f"CASE WHEN (substr(ta, x2[1]::INT, 1) IN {vow})"
+              f" = (substr(tb, x[1]::INT, 1) IN {vow}) THEN 5 ELSE -4 END")
+    b2c = np.zeros(256, dtype=np.int64)
+    for ch in b"aeiou":
+        b2c[ch] = 1
+    cc = np.full((32, 32), -4, dtype=np.int64)
+    np.fill_diagonal(cc, 5)
+    got = run(sub_nw, -2, -1, False)
+    exp = needleman_wunsch_batch(a, b, expand_class_costs(b2c, cc), -2, -1)
+    assert got == [int(v) for v in exp]
+
+
+def test_fingerprints_rolling_sql_oracle_random_differential():
+    """The flagship rolling-fold DuckDB twin (szs_fingerprints_full_oracle
+    machinery) equals kernels.fingerprints on RANDOM ASCII texts across
+    several dims — guarding the oracle itself against transcription
+    drift, independent of the driver corpus."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from sz_spark.kernels import MAX_HASH_U32, fingerprint_params, fingerprints
+
+    rng = random.Random(99)
+    texts = ["".join(rng.choice("abcdef gh") for _ in range(rng.randrange(0, 80)))
+             for _ in range(60)]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    from sz_spark.queries import szs_fingerprints_full_oracle
+
+    rows = con.execute(
+        szs_fingerprints_full_oracle() + " ORDER BY doc_id, dim"
+    ).fetchall()
+    h, c = fingerprints([t.encode() for t in texts], ndim=128, seed=0)
+    assert len(rows) == len(texts) * 128
+    for i, (doc_id, dim, mh, mc) in enumerate(rows):
+        di, dd = divmod(i, 128)
+        assert int(h[di, dd]) == mh and int(c[di, dd]) == mc, (doc_id, dim)
