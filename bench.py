@@ -98,7 +98,11 @@ def _bw_triad(n: int) -> float:
     for _ in range(n):
         np.multiply(b, 1.000001, out=c)
         c += a
-    return 8_000_000 * 8 * 3 * n / (time.time() - t0)
+    # bytes moved per iteration: multiply = read b + write c (2 streams),
+    # c += a = read c + read a + write c (3 streams) -> 5 array traversals.
+    # (ADVICE r4: the old 3-stream constant under-reported absolute GB/s
+    # by ~40%; the 2->8 ceiling RATIO was unaffected.)
+    return 8_000_000 * 8 * 5 * n / (time.time() - t0)
 
 
 def machine_scaling_ceiling(low: int, high: int) -> dict:

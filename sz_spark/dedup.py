@@ -40,6 +40,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Word n-gram Jaccard similarity join.
 
@@ -48,6 +49,20 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` drops stop-shingles (a shingle in f docs
     generates f^2 join rows — the frequency cap is the shuffle-skew
     guard at corpus scale).
+
+    ``materialize`` (default True) makes this call EAGER: the shingle
+    table is persisted DISK_ONLY for its three consumers, the pair
+    output is materialized via ``localCheckpoint(eager=True)``, and the
+    shingle persist is released before returning.  The returned frame
+    is backed by executor-local checkpoint blocks — it is NOT
+    lineage-replayable, so on a multi-node cluster an executor loss
+    after this call loses the frame (ADVICE r4).  Pass
+    ``materialize=False`` for a fully lazy, replayable plan: no persist
+    and no checkpoint, at the cost of re-exploding the corpus once per
+    consumer (~3x one-shot wall measured at sf0.1) — the right trade
+    when the result feeds a long-lived multi-stage job on a real
+    cluster, where a reliable ``DataFrame.checkpoint`` into a
+    configured checkpoint dir is the durable alternative.
     """
     from pyspark import StorageLevel
 
@@ -65,11 +80,9 @@ def ngram_jaccard_pairs(
     # never pinned in storage memory.  Spill budget: ~n x input bytes /
     # executor count of local disk; at BENCH_SCALE_K=16 / sf0.1 the
     # persisted table is ~60 MB — trivially disk-resident.
-    sh = (
-        sh.join(freq.filter(F.col("f") <= max_shingle_freq), "sh")
-        .drop("f")
-        .persist(StorageLevel.DISK_ONLY)
-    )
+    sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "sh").drop("f")
+    if materialize:
+        sh = sh.persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -95,9 +108,11 @@ def ngram_jaccard_pairs(
     # then release the O(total tokens) shingle table — without this the
     # DISK_ONLY blocks live for the rest of the session and every later
     # query in a shared bench/driver session pays for them (ADVICE r3).
-    # The returned frame is the checkpointed result, free to compose.
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist()
+    # The returned frame is the checkpointed result, free to compose
+    # (but not replayable — see the docstring's materialize contract).
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist()
     return out
 
 

@@ -45,6 +45,12 @@ class PipelineConfig:
     salt_up_to: int = 1024
     checkpoint_dir: str | None = None
     cc_max_iterations: int = 20
+    # Fail loudly on an xxhash64 surrogate-key collision (ADVICE r4):
+    # one cheap agg over the canonical-docs stage.  Runs whenever the
+    # stage is checkpoint-materialized (re-reading it is one scan); in
+    # lineage-only runs the agg would recompute the whole canonicalize,
+    # so set True to force it anyway.
+    verify_surrogate_keys: bool | None = None
 
 
 def run_pipeline(
@@ -68,6 +74,26 @@ def run_pipeline(
             "did", F.xxhash64("conv_id")
         ),
     )
+
+    # Collision guard (ADVICE r4): a did collision would silently merge
+    # two conversations through blocking/scoring and FAN OUT rows at the
+    # conv_id remap join — corrupting clusters instead of erroring.  One
+    # agg makes it fail loudly.  canonicalize emits one row per conv_id
+    # (groupBy), so count(*) == countDistinct(did) iff no collision.
+    verify = cfg.verify_surrogate_keys
+    if verify is None:
+        verify = cfg.checkpoint_dir is not None
+    if verify:
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("did")).alias("n_did"),
+        ).collect()[0]
+        if row["n"] != row["n_did"]:
+            raise RuntimeError(
+                f"xxhash64(conv_id) surrogate-key collision: {row['n']} docs "
+                f"-> {row['n_did']} distinct dids; rerun with a string key "
+                "or a salted surrogate"
+            )
 
     def _bands():
         return blocking.minhash_bands(

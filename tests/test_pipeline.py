@@ -111,3 +111,18 @@ def test_resume_identical(spark, tmp_path):
     metrics = r2["clusters"].sparkSession.read.parquet(os.path.join(ck, "_metrics"))
     stages_logged = {r["stage"] for r in metrics.select("stage").distinct().collect()}
     assert {"canonical_docs", "bands", "pairs", "scored"} <= stages_logged
+
+
+def test_surrogate_collision_guard(spark, monkeypatch):
+    """ADVICE r4: a did collision must fail loudly, not corrupt clusters.
+    Real xxhash64 collisions are ~2e-9 at 1M docs, so force one by
+    patching the surrogate to a constant and assert the guard raises."""
+    from pyspark.sql import functions as F
+
+    import sz_spark.pipeline as P
+    from sz_spark.transcripts import build_transcripts
+
+    tr = build_transcripts(spark, SF_DIR)
+    monkeypatch.setattr(P.F, "xxhash64", lambda *cols: F.lit(7).cast("long"))
+    with pytest.raises(RuntimeError, match="collision"):
+        P.run_pipeline(spark, tr, P.PipelineConfig(verify_surrogate_keys=True))

@@ -80,13 +80,27 @@ POOL = (
     # (AK/AP/VI/AS), Batak VF, Dotted Circle
     + [0x201C, 0x201D, 0x2018, 0x2019, 0x2010, 0x11005, 0x11006, 0x11003,
        0x11046, 0x1B50, 0x1BF2, 0x25CC]
+    # ADVICE r4: U+FFFC (LB class CB) so LB20/LB20a interactions are
+    # fuzzed, plus astral EAW=Wide ideographs (ID via the astral
+    # searchsorted path) and an astral alphabetic — the BMP-LUT/astral
+    # split in uax_vec must agree with the scalar chain on both sides.
+    + [0xFFFC, 0x20000, 0x2B740, 0x1D400, 0x1F6D1]
 )
 
 
 def _fuzz_texts(n=400, seed=20240817):
     rng = random.Random(seed)
-    return ["".join(chr(rng.choice(POOL)) for _ in range(rng.randrange(0, 60)))
-            for _ in range(n)]
+    out = []
+    for i in range(n):
+        # every 8th text is LONG (60-220 cps) so long-run interactions
+        # (LB9 chains, regional-indicator parity, quote parity) are
+        # fuzzed, not just curated (ADVICE r4)
+        hi = 220 if i % 8 == 7 else 60
+        lo = 60 if i % 8 == 7 else 0
+        out.append(
+            "".join(chr(rng.choice(POOL)) for _ in range(rng.randrange(lo, hi)))
+        )
+    return out
 
 
 def test_property_tables_match_scalar_full_space():
