@@ -805,7 +805,10 @@ def q_sample_seeded_rng(spark, sf):
     """Engine-RNG seeded sampling, without and with replacement
     (Strs.sample, stringzilla.c:8016) — rows-only like all
     engine-specific RNG; the cross-engine-checkable PRF variant is
-    q_prf_sample_shuffle."""
+    q_prf_sample_shuffle.  Not registered with the driver since r5
+    (replaced by szs_cms_merge per VERDICT r4 #2 — engine-RNG output
+    can never be hash-oracled); determinism across runs/parallelism is
+    pinned by tests/test_queries.py::test_engine_rng_sample_determinism."""
     d = _t(spark, sf, "documents")
     wor = d.sample(fraction=0.1, seed=42).select(
         "doc_id", F.lit("wor").alias("method")
@@ -814,6 +817,115 @@ def q_sample_seeded_rng(spark, sf):
         "doc_id", F.lit("wr").alias("method")
     )
     return wor.unionByName(wr)
+
+
+#: szs_cms_merge geometry: D dims per sketch, K partial sketches folded.
+CMS_MERGE_DIMS = 16
+CMS_MERGE_CHUNKS = 4
+
+
+def szs_cms_merge(spark, sf):
+    """merge_count_min_sketches driver row (fingerprints/serial.hpp:601-625):
+    K=4 partial (min-hash, count) sketches per document — derived from
+    the shared md5 60-bit PRF so both engines build identical inputs —
+    are folded left-to-right by the REAL kernel
+    (kernels.merge_count_min_sketches) inside an Arrow-batched pandas
+    UDF, then exploded to (doc_id, dim, merged_hash, merged_count).
+
+    The DuckDB twin re-derives the same cells and applies the merge
+    law's closed form instead of the fold: the merged hash is the
+    global min across chunks, and the merged count is the SUM of counts
+    over every chunk tying at that min (exactly what the associative
+    pairwise law converges to — min wins; counts add on ties).  A hash
+    match therefore proves the kernel implements the reference's merge
+    semantics, not merely that two copies of the same code agree.
+    This is also Spark's partial->final aggregation contract, i.e. the
+    law that makes chunked/streaming fingerprints correct at 100 TB.
+    """
+    import numpy as np
+
+    from sz_spark.kernels import merge_count_min_sketches
+
+    D, K = CMS_MERGE_DIMS, CMS_MERGE_CHUNKS
+    d = _t(spark, sf, "documents")
+
+    def _prf(prefix, dim_col):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        dim_col.cast("string"),
+                        F.lit("|"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    dims = F.sequence(F.lit(0), F.lit(D - 1))
+
+    # NB: a two-parameter lambda in F.transform means (element, INDEX) to
+    # PySpark — capture the chunk prefix via a factory, never a default arg
+    def _hash_col(prefix: str) -> F.Column:
+        return F.transform(dims, lambda i: _prf(prefix, i) % 4294967296)
+
+    def _count_col(prefix: str) -> F.Column:
+        return F.transform(dims, lambda i: 1 + _prf(prefix, i) % 7)
+
+    cols = [F.col("doc_id")]
+    for k in range(K):
+        cols.append(_hash_col(f"cms{k}|").alias(f"h{k}"))
+        cols.append(_count_col(f"cnt{k}|").alias(f"c{k}"))
+    parts = d.select(*cols)
+
+    @pandas_udf("struct<hashes: array<long>, counts: array<long>>")
+    def fold_udf(*series: pd.Series) -> pd.DataFrame:
+        hs = [np.array(series[2 * k].tolist(), dtype=np.int64) for k in range(K)]
+        cs = [np.array(series[2 * k + 1].tolist(), dtype=np.int64) for k in range(K)]
+        h, c = hs[0], cs[0]
+        for k in range(1, K):
+            h, c = merge_count_min_sketches(h, c, hs[k], cs[k])
+        return pd.DataFrame({"hashes": list(h), "counts": list(c)})
+
+    merged = parts.select(
+        "doc_id", fold_udf(*[f"{p}{k}" for k in range(K) for p in ("h", "c")]).alias("m")
+    )
+    return merged.select(
+        "doc_id", F.posexplode(F.arrays_zip("m.hashes", "m.counts"))
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("dim"),
+        F.col("col.hashes").alias("merged_hash"),
+        F.col("col.counts").alias("merged_count"),
+    )
+
+
+SZS_CMS_MERGE_SQL = f"""
+WITH cells AS (
+  SELECT d.doc_id, dim, chunk,
+         ('0x' || substr(md5('cms' || CAST(chunk AS VARCHAR) || '|' ||
+             CAST(dim AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+         )::BIGINT % 4294967296 AS h,
+         1 + ('0x' || substr(md5('cnt' || CAST(chunk AS VARCHAR) || '|' ||
+             CAST(dim AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+         )::BIGINT % 7 AS c
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range({CMS_MERGE_DIMS})) AS dim)
+  CROSS JOIN (SELECT unnest(range({CMS_MERGE_CHUNKS})) AS chunk)
+),
+mins AS (
+  SELECT doc_id, dim, min(h) AS merged_hash FROM cells GROUP BY doc_id, dim
+)
+SELECT c.doc_id, c.dim, m.merged_hash, CAST(sum(c.c) AS BIGINT) AS merged_count
+FROM cells c
+JOIN mins m ON c.doc_id = m.doc_id AND c.dim = m.dim AND c.h = m.merged_hash
+GROUP BY c.doc_id, c.dim, m.merged_hash
+"""
 
 # ---------------------------------------------------------------------------
 # ER pipeline queries (transcripts -> clusters), all oracle-checked
@@ -1645,5 +1757,5 @@ REGISTRY: dict[str, tuple] = {
     "str_uncased_search": (str_uncased_search, STR_UNCASED_SEARCH_SQL),
     # --- seeded sampling / permutation ---
     "q_prf_sample_shuffle": (q_prf_sample_shuffle, Q_PRF_SAMPLE_SHUFFLE_SQL),
-    "q_sample_seeded_rng": (q_sample_seeded_rng, None),
+    "szs_cms_merge": (szs_cms_merge, SZS_CMS_MERGE_SQL),
 }
