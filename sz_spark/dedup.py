@@ -179,15 +179,16 @@ def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def simhash_sql_cte() -> str:
+def simhash_sql_cte(source: str = "documents") -> str:
     """DuckDB CTE chain (no leading WITH) ending in
-    ``sigs(doc_id, simhash)`` — the exact twin of :func:`simhash_docs`."""
+    ``sigs(doc_id, simhash)`` — the exact twin of :func:`simhash_docs`.
+    ``source`` is the relation holding (doc_id, text)."""
     b = SIMHASH_BITS
     return f"""hs AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '),
                         t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
-  FROM documents
+  FROM {source}
 ),
 bals AS (
   SELECT doc_id,
@@ -337,11 +338,14 @@ WHERE a.doc_id < b.doc_id
 
 
 def simhash_near_pairs_sql(
-    max_hamming: int = 3, n_blocks: int = 6, max_bucket_size: int = 0
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+    max_bucket_size: int = 0,
+    source: str = "documents",
 ) -> str:
     """DuckDB twin of simhash_docs + simhash_near_pairs, cap included."""
     return f"""
-WITH {simhash_sql_cte()},
+WITH {simhash_sql_cte(source)},
 {simhash_pairs_sql_body(max_hamming, n_blocks, max_bucket_size)}
 """
 
@@ -409,12 +413,16 @@ def embedding_near_pairs_lsh(
 
 
 def embedding_near_pairs_lsh_sql(
-    threshold: float = 0.9, dim: int = 64, n_bits: int = 8, n_tables: int = 8
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    source: str = "embeddings",
 ) -> str:
     from sz_spark import ann
 
     return f"""
-WITH {ann.hyperplane_buckets_sql_cte(dim, n_bits, n_tables)},
+WITH {ann.hyperplane_buckets_sql_cte(dim, n_bits, n_tables, source=f"SELECT vec_id, embedding FROM {source}")},
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM buckets a JOIN buckets b USING (t, bucket)
@@ -423,8 +431,8 @@ cand AS (
 SELECT id_a, id_b,
        round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
 FROM cand
-JOIN embeddings ea ON ea.vec_id = id_a
-JOIN embeddings eb ON eb.vec_id = id_b
+JOIN {source} ea ON ea.vec_id = id_a
+JOIN {source} eb ON eb.vec_id = id_b
 WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= {threshold}
 """
 
