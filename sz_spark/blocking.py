@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sz_spark.udfs import make_band_keys_udf, make_fingerprint_udf
+from sz_spark.udfs import make_fingerprint_udf
 
 # Measured: with the layered prefix key, candidate recall is 1.00000 at
 # sf0.001 AND sf0.1 for 64, 96, and 128 dims with near-identical
@@ -72,8 +72,8 @@ def minhash_bands(
     """docs -> (id, band_id, band_hash): the one-pass blocking stage.
 
     Fingerprint + band hashing run fused inside a single pandas UDF
-    (see make_band_keys_udf) so only n_bands longs per doc cross the
-    Arrow boundary; the explode is a cheap JVM posexplode.
+    (see udfs.make_band_keys_arrow_fn) so only n_bands longs per doc
+    cross the Arrow boundary; the explode is a cheap JVM posexplode.
 
     Layered blocking: a deterministic PREFIX key (band_id = -1, hash of
     the first ``prefix_len`` bytes) is unioned with the minhash bands —
@@ -94,10 +94,10 @@ def minhash_bands(
     layer's pair cost is O(n).  Block caps/salting still apply to
     prefix blocks like any other.  ``prefix_len=0`` disables the
     layer."""
-    keys = make_band_keys_udf(
-        ndim=ndim, widths=widths, seed=seed, n_bands=n_bands,
-        rows_per_band=rows_per_band,
-    )
+    from pyspark.sql import types as T
+
+    from sz_spark.udfs import make_band_keys_arrow_fn
+
     # AQE sizes the upstream shuffle by BYTES, so a canonicalized corpus
     # lands in a handful of partitions and the fingerprint UDF — whose
     # CPU cost per byte the optimizer cannot see — would run nearly
@@ -107,11 +107,41 @@ def minhash_bands(
     # four waves of smaller chunks keep the tail short.
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(4 * parallelism)
-    # encode JVM-side: the Arrow batch then carries bytes and the Python
-    # worker skips a per-row str->bytes re-encode before the kernel
-    bands = docs.select(
-        F.col(id_col), keys(F.encode(F.col(text_col), "utf-8")).alias("bk")
-    ).select(
+    # encode JVM-side, then mapInArrow: the worker reads the Arrow binary
+    # column's (data, offsets) buffers straight into the flat kernel —
+    # no pandas Series, no per-row bytes objects (r4 measured the pandas
+    # transport at ~60% of standalone kernel throughput).
+    # SZ_PANDAS_TRANSPORT=1 flips back to the pandas twin — the bench
+    # A/B switch (box noise demands same-window interleaving) and the
+    # fallback if an Arrow buffer-layout assumption ever breaks.
+    import os
+
+    if os.environ.get("SZ_PANDAS_TRANSPORT") == "1":
+        from sz_spark.udfs import make_band_keys_udf
+
+        keys = make_band_keys_udf(
+            ndim=ndim, widths=widths, seed=seed, n_bands=n_bands,
+            rows_per_band=rows_per_band,
+        )
+        bands = docs.select(
+            F.col(id_col), keys(F.encode(F.col(text_col), "utf-8")).alias("bk")
+        )
+    else:
+        fn = make_band_keys_arrow_fn(
+            ndim=ndim, widths=widths, seed=seed, n_bands=n_bands,
+            rows_per_band=rows_per_band,
+        )
+        src = docs.select(
+            F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("_t")
+        )
+        out_schema = T.StructType(
+            [
+                src.schema[id_col],
+                T.StructField("bk", T.ArrayType(T.LongType()), False),
+            ]
+        )
+        bands = src.mapInArrow(fn, out_schema)
+    bands = bands.select(
         id_col,
         F.posexplode("bk").alias("band_id", "band_hash"),
     )

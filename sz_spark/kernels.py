@@ -135,6 +135,24 @@ def fingerprint_params(
 # ---------------------------------------------------------------------------
 
 
+def flat_from_bytes(texts: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a list of byte strings into the flat (data, offsets) layout
+    the *_flat kernels ingest: ``data`` is every byte concatenated,
+    ``offsets`` (n+1 int64) bounds text i at data[offsets[i]:offsets[i+1]].
+    This is exactly Arrow's variable-binary layout, so Arrow-native
+    callers (udfs.arrow_binary_flat) skip this copy entirely."""
+    n = len(texts)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    if n:
+        np.cumsum([len(t) for t in texts], out=offsets[1:])
+    data = (
+        np.frombuffer(b"".join(texts), dtype=np.uint8)
+        if n and offsets[-1]
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return data, offsets
+
+
 def fingerprints(
     texts: Sequence[bytes],
     ndim: int = 128,
@@ -158,6 +176,31 @@ def fingerprints(
     returned counts array is ALL ZEROS (never stale partial data) —
     hashes are identical either way.
     """
+    data, offsets = flat_from_bytes(texts)
+    return fingerprints_flat(
+        data,
+        offsets,
+        ndim=ndim,
+        widths=widths,
+        seed=seed,
+        batch_bytes=batch_bytes,
+        with_counts=with_counts,
+    )
+
+
+def fingerprints_flat(
+    data: np.ndarray,
+    offsets: np.ndarray,
+    ndim: int = 128,
+    widths: Sequence[int] | None = None,
+    seed: int = 0,
+    batch_bytes: int | None = None,
+    with_counts: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`fingerprints` over the flat Arrow-style (data, offsets)
+    layout — the zero-copy entry for Arrow-native UDF transport (text i
+    is data[offsets[i]:offsets[i+1]]; no per-row Python objects are ever
+    created).  Bit-identical to :func:`fingerprints`."""
     if batch_bytes is None:
         # default 2^21 keeps the padded working set L2-resident for ONE
         # worker; when many workers share a small L3, shrink via env
@@ -166,28 +209,30 @@ def fingerprints(
 
         batch_bytes = int(os.environ.get("SZ_FP_BATCH_BYTES", 1 << 21))
     params = fingerprint_params(ndim, widths, seed)
-    n = len(texts)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    lengths = np.diff(offsets)
+    n = len(lengths)
     hashes = np.full((n, ndim), MAX_HASH_U32, dtype=np.uint32)
     counts = np.zeros((n, ndim), dtype=np.uint32)
     if n == 0:
         return hashes, counts
 
     # Sort by length so each padded sub-batch wastes little work.
-    order = np.argsort([len(t) for t in texts], kind="stable")
+    order = np.argsort(lengths, kind="stable")
     start = 0
     while start < n:
         # grow the sub-batch until its padded matrix would exceed batch_bytes
         end = start + 1
-        max_len = len(texts[order[start]])
+        max_len = int(lengths[order[start]])
         while end < n:
-            cand_len = max(max_len, len(texts[order[end]]))
+            cand_len = max(max_len, int(lengths[order[end]]))
             if (end - start + 1) * cand_len * 8 > batch_bytes and end > start:
                 break
             max_len = cand_len
             end += 1
         idx = order[start:end]
-        h, c = _fingerprint_padded_batch(
-            [texts[i] for i in idx], params, with_counts=with_counts
+        h, c = _fp_padded_flat(
+            data, offsets[idx], lengths[idx], params, with_counts=with_counts
         )
         hashes[idx] = h
         counts[idx] = c
@@ -229,9 +274,24 @@ def _fingerprint_padded_batch(
     guarded by the uint64 == f64-mirror == big-int conformance suite
     (tests/test_kernels.py).
     """
-    b = len(batch)
+    data, offsets = flat_from_bytes(list(batch))
+    return _fp_padded_flat(
+        data, offsets[:-1], np.diff(offsets), params, with_counts=with_counts
+    )
+
+
+def _fp_padded_flat(
+    data: np.ndarray,
+    starts: np.ndarray,
+    lengths: np.ndarray,
+    params: FingerprintParams,
+    with_counts: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat-layout core of :func:`_fingerprint_padded_batch` — same math,
+    vectorized-gather padded fill (no per-row Python in the transport)."""
+    b = len(starts)
     ndim = params.ndim
-    lengths = np.asarray([len(t) for t in batch], dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
     assert b == 0 or (np.diff(lengths) >= 0).all(), "batch must be length-sorted"
     max_len = int(lengths.max()) if b else 0
 
@@ -255,9 +315,14 @@ def _fingerprint_padded_batch(
     # row-major (b, max_len) layout made every such read a stride-max_len
     # gather (one useful 8-byte value per 64-byte cache line)
     terms_t = np.zeros((max_len + 1, b), dtype=np.float64)
-    for i, t in enumerate(batch):
-        if t:
-            terms_t[: len(t), i] = np.frombuffer(t, dtype=np.uint8)
+    # vectorized gather fill: terms_t[p, i] = data[starts[i] + p] for
+    # p < lengths[i] — one fancy-indexed assignment instead of b
+    # per-row slice copies (the masked index is computed first, so
+    # out-of-range positions of shorter rows are never dereferenced)
+    pos = np.arange(max_len, dtype=np.int64)[:, None]
+    mask = pos < lengths[None, :]
+    gidx = starts[None, :] + pos
+    terms_t[:max_len][mask] = data[gidx[mask]]
     terms_t += 1.0  # byte + 1, exact in f64
 
     mult = params.mult[perm].astype(np.float64)[None, :]  # (1, D)
@@ -824,18 +889,58 @@ def levenshtein_batch_bounded(
     and insertions resolve along d with the same running-cummin trick as
     :func:`_gotoh_batch`.
     """
-    n = len(a)
+    da, oa = flat_from_bytes(list(a))
+    db, ob = flat_from_bytes(list(b))
+    return levenshtein_batch_bounded_flat(da, oa, db, ob, bound)
+
+
+def levenshtein_batch_bounded_flat(
+    da: np.ndarray,
+    oa: np.ndarray,
+    db: np.ndarray,
+    ob: np.ndarray,
+    bound: int,
+) -> np.ndarray:
+    """:func:`levenshtein_batch_bounded` over the flat Arrow-style
+    (data, offsets) layout on both sides — the zero-copy entry for
+    Arrow-native pair scoring (udfs / scoring.score_pairs)."""
+    oa = np.asarray(oa, dtype=np.int64)
+    ob = np.asarray(ob, dtype=np.int64)
+    return bounded_lev_flat(
+        da, oa[:-1], np.diff(oa), db, ob[:-1], np.diff(ob), bound
+    )
+
+
+def bounded_lev_flat(
+    da: np.ndarray,
+    sa: np.ndarray,
+    a_len: np.ndarray,
+    db: np.ndarray,
+    sb: np.ndarray,
+    lens_b: np.ndarray,
+    bound: int,
+) -> np.ndarray:
+    """Starts/lengths form of :func:`levenshtein_batch_bounded_flat` —
+    rows may be ARBITRARY (fancy-indexed) slices of the flat buffers, so
+    Arrow callers can chunk by length without re-packing."""
+    oa, ob = sa, sb
+    b_len = lens_b
+    n = len(a_len)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     k = int(bound)
-    a_len = np.asarray([len(x) for x in a], dtype=np.int64)
-    b_len = np.asarray([len(x) for x in b], dtype=np.int64)
     out = np.full(n, k + 1, dtype=np.int64)
     feasible = np.abs(a_len - b_len) <= k
     if not feasible.any():
         return out
-    # exact equality fast path (common for exact-dup pairs)
-    eq = np.asarray([x == y for x, y in zip(a, b)])
+    # exact equality fast path (common for exact-dup pairs): only rows
+    # with equal lengths are candidates; compare their byte views
+    eq = np.zeros(n, dtype=bool)
+    for i in np.nonzero(a_len == b_len)[0]:
+        la = a_len[i]
+        eq[i] = la == 0 or bool(
+            (da[oa[i] : oa[i] + la] == db[ob[i] : ob[i] + la]).all()
+        )
     todo = feasible & ~eq
     out[eq] = 0
     if not todo.any():
@@ -853,8 +958,8 @@ def levenshtein_batch_bounded(
     for s in range(0, len(idx), chunk):
         sub_idx = idx[s : s + chunk]
         res_all[s : s + chunk] = _bounded_lev_chunk(
-            [a[i] for i in sub_idx],
-            [b[i] for i in sub_idx],
+            _gather_byte_matrix(da, oa[sub_idx], a_len[sub_idx]),
+            _gather_byte_matrix(db, ob[sub_idx], b_len[sub_idx]),
             a_len[sub_idx],
             b_len[sub_idx],
             k,
@@ -864,18 +969,26 @@ def levenshtein_batch_bounded(
     return out
 
 
-def _bounded_lev_chunk(aa, bb, al, bl, k, dtype) -> np.ndarray:
-    m = len(aa)
+def _gather_byte_matrix(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Row-major zero-padded (m, max_len) uint8 matrix from the flat
+    layout via one vectorized gather (no per-row Python objects)."""
+    m = len(starts)
+    max_len = int(lens.max()) if m else 0
+    mat = np.zeros((m, max(max_len, 1)), dtype=np.uint8)
+    if max_len:
+        pos = np.arange(max_len, dtype=np.int64)[None, :]
+        mask = pos < lens[:, None]
+        gidx = starts[:, None] + pos
+        mat[:, :max_len][mask] = data[gidx[mask]]
+    return mat
+
+
+def _bounded_lev_chunk(a_mat, b_mat, al, bl, k, dtype) -> np.ndarray:
+    m = a_mat.shape[0]
     la_max = int(al.max())
     lb_max = int(bl.max())
-    a_mat = np.zeros((m, max(la_max, 1)), dtype=np.uint8)
-    b_mat = np.zeros((m, max(lb_max, 1)), dtype=np.uint8)
-    for i, s in enumerate(aa):
-        if s:
-            a_mat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-    for i, s in enumerate(bb):
-        if s:
-            b_mat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
 
     W = 2 * k + 1
     BIG = dtype(16000 if dtype == np.int16 else 1 << 40)

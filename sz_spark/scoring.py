@@ -102,11 +102,13 @@ def score_pairs(
     ``bounded``: when set, uses the banded DP exact below the τ-bound
     (the at-scale path — ~10x cheaper); distances of sub-τ pairs come
     back clamped, which only matters if you *keep* sub-τ pairs.
+
+    Output columns: the bounded production path runs Arrow-native
+    (mapInArrow over flat buffers) and deliberately DROPS doc_a/doc_b —
+    shipping the texts back JVM-side would double the Arrow transfer for
+    columns no consumer reads.  The pandas paths (exact lev /
+    add_jaro_winkler) keep all input columns.
     """
-    if bounded is not None:
-        lev = make_bounded_levenshtein_udf(bounded)
-    else:
-        lev = levenshtein_udf
     # AQE coalesces the (byte-wise tiny) pair shuffle down to a couple of
     # partitions, which would serialize the pandas-UDF DP — its CPU cost
     # is invisible to the optimizer.  Spread the batch explicitly across
@@ -116,11 +118,45 @@ def score_pairs(
     # row-count wave whose longest partition strands the rest of the pool
     parallelism = pairs_with_texts.sparkSession.sparkContext.defaultParallelism
     pairs_with_texts = pairs_with_texts.repartition(4 * parallelism)
-    out = pairs_with_texts.withColumn(
-        "edit_distance",
-        # JVM-side encode: workers get bytes, skipping per-row re-encode
-        lev(F.encode(F.col("doc_a"), "utf-8"), F.encode(F.col("doc_b"), "utf-8")),
-    ).withColumn(
+    import os
+
+    if (
+        bounded is not None
+        and not add_jaro_winkler
+        and os.environ.get("SZ_PANDAS_TRANSPORT") != "1"
+    ):
+        # Arrow-native production path: the worker reads the binary
+        # columns' flat buffers straight into the banded DP — no pandas
+        # Series, no per-row bytes objects.  The texts do NOT ride back
+        # to the JVM: the output batch carries only the carry columns +
+        # edit_distance.
+        from pyspark.sql import types as T
+
+        from sz_spark.udfs import make_bounded_lev_arrow_fn
+
+        carry = [c for c in pairs_with_texts.columns if c not in ("doc_a", "doc_b")]
+        src = pairs_with_texts.select(
+            *carry,
+            F.encode(F.col("doc_a"), "utf-8").alias("_ba"),
+            F.encode(F.col("doc_b"), "utf-8").alias("_bb"),
+        )
+        out_schema = T.StructType(
+            [src.schema[c] for c in carry]
+            + [T.StructField("edit_distance", T.LongType(), False)]
+        )
+        out = src.mapInArrow(make_bounded_lev_arrow_fn(bounded), out_schema)
+    else:
+        lev = (
+            make_bounded_levenshtein_udf(bounded)
+            if bounded is not None
+            else levenshtein_udf
+        )
+        out = pairs_with_texts.withColumn(
+            "edit_distance",
+            # JVM-side encode: workers get bytes, skipping per-row re-encode
+            lev(F.encode(F.col("doc_a"), "utf-8"), F.encode(F.col("doc_b"), "utf-8")),
+        )
+    out = out.withColumn(
         "sim",
         F.lit(1.0)
         - F.col("edit_distance") / F.greatest("len_a", "len_b").cast("double"),

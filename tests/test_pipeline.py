@@ -126,3 +126,83 @@ def test_surrogate_collision_guard(spark, monkeypatch):
     monkeypatch.setattr(P.F, "xxhash64", lambda *cols: F.lit(7).cast("long"))
     with pytest.raises(RuntimeError, match="collision"):
         P.run_pipeline(spark, tr, P.PipelineConfig(verify_surrogate_keys=True))
+
+
+def test_arrow_transport_parity(spark):
+    """The r5 mapInArrow transport (flat-buffer kernels) must produce
+    exactly the pandas-UDF twins' outputs: band keys from
+    blocking.minhash_bands == make_band_keys_udf, and bounded-lev
+    scoring == make_bounded_levenshtein_udf."""
+    from pyspark.sql import functions as F
+
+    from sz_spark import blocking, canonicalize as canon, scoring
+    from sz_spark.transcripts import build_transcripts
+    from sz_spark.udfs import make_band_keys_udf, make_bounded_levenshtein_udf
+
+    docs = canon.canonicalize(build_transcripts(spark, SF_DIR)).limit(200)
+
+    # bands: arrow path (production) vs pandas twin
+    got = (
+        blocking.minhash_bands(docs, ndim=32, n_bands=8, rows_per_band=4,
+                               widths=None, prefix_len=0)
+        .orderBy("conv_id", "band_id")
+        .toPandas()
+    )
+    keys = make_band_keys_udf(ndim=32, n_bands=8, rows_per_band=4)
+    exp = (
+        docs.select(
+            "conv_id", keys(F.encode(F.col("doc"), "utf-8")).alias("bk")
+        )
+        .select("conv_id", F.posexplode("bk").alias("band_id", "band_hash"))
+        .orderBy("conv_id", "band_id")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+    # scoring: arrow bounded path vs pandas bounded twin
+    pairs = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.col("a.conv_id") < F.col("b.conv_id"))
+        .select(
+            F.col("a.conv_id").alias("id_a"), F.col("b.conv_id").alias("id_b")
+        )
+        .limit(500)
+    )
+    wt = scoring.attach_texts(pairs, docs)
+    tau = 0.3  # low enough that pairs land on both sides of the bound
+    got_s = (
+        scoring.score_pairs(wt, bounded=tau)
+        .select("id_a", "id_b", "edit_distance", F.round("sim", 9).alias("sim"))
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    lev = make_bounded_levenshtein_udf(tau)
+    exp_s = (
+        wt.withColumn(
+            "edit_distance",
+            lev(F.encode(F.col("doc_a"), "utf-8"), F.encode(F.col("doc_b"), "utf-8")),
+        )
+        .withColumn(
+            "sim",
+            F.round(
+                F.lit(1.0)
+                - F.col("edit_distance") / F.greatest("len_a", "len_b").cast("double"),
+                9,
+            ),
+        )
+        .select("id_a", "id_b", "edit_distance", "sim")
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    # bounded contract: sub-τ pairs come back CLAMPED, and the clamp value
+    # depends on chunk composition (both paths chunk independently) — so
+    # compare exactly what consumers rely on: identical pair set, and for
+    # every pair either both sides agree exactly (kept pairs are exact
+    # below the bound) or both sides score it below τ (dropped either way)
+    m = got_s.merge(exp_s, on=["id_a", "id_b"], suffixes=("_a", "_p"))
+    assert len(m) == len(got_s) == len(exp_s)
+    kept = (m.sim_a >= tau) | (m.sim_p >= tau)
+    assert (m.loc[kept, "edit_distance_a"] == m.loc[kept, "edit_distance_p"]).all()
+    assert (m.loc[kept, "sim_a"] == m.loc[kept, "sim_p"]).all()
+    assert ((m.sim_a < tau) == (m.sim_p < tau)).all()
+    assert kept.sum() > 0  # the parity check must not be vacuous
