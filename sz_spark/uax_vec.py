@@ -78,11 +78,14 @@ def _lookup(starts: np.ndarray, props: np.ndarray, cps: np.ndarray,
             bmp: np.ndarray | None = None) -> np.ndarray:
     if bmp is None:
         return props[np.searchsorted(starts, cps, side="right") - 1]
+    # pure-BMP batches (the common corpus case) take one direct gather;
+    # the max() reduction is ~10x cheaper than the where+copy it avoids
+    if len(cps) == 0 or int(cps.max()) < 0x10000:
+        return bmp[cps]
     astral = cps >= 0x10000
     out = bmp[np.where(astral, 0, cps)]
-    if astral.any():
-        sub = cps[astral]
-        out[astral] = props[np.searchsorted(starts, sub, side="right") - 1]
+    sub = cps[astral]
+    out[astral] = props[np.searchsorted(starts, sub, side="right") - 1]
     return out
 
 
@@ -285,6 +288,11 @@ def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) ->
         return np.zeros(0, dtype=bool)
     props = wb_props(cps)
     ign = _WB_IGN[props]
+    # Ignorable-free fast path (ASCII and most Latin corpora): every
+    # element base IS its codepoint position, so the WB4 fold and the
+    # lookback/lookahead index maps collapse to identity shifts — the
+    # accumulates and their gathers are skipped entirely.
+    any_ign = bool(ign.any())
     idx = np.arange(n)
 
     dec = np.full(n, -1, dtype=np.int8)
@@ -295,19 +303,24 @@ def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) ->
     _rule(d, (P == _W.CR) & (Q == _W.LF), 0)  # WB3
     _rule(d, _WB_NEWL[P], 1)  # WB3a
     _rule(d, _WB_NEWL[Q], 1)  # WB3b
-    zwj_left = (P == _W.ZWJ) & (d == -1)
-    if zwj_left.any():  # WB3c (raw adjacency, lazy ExtPict gather)
-        sub = np.flatnonzero(zwj_left)
-        ep_sub = extpict(cps[1:][sub])
-        d[sub[ep_sub]] = 0
+    if any_ign:  # ZWJ is an ignorable — none exist on the fast path
+        zwj_left = (P == _W.ZWJ) & (d == -1)
+        if zwj_left.any():  # WB3c (raw adjacency, lazy ExtPict gather)
+            sub = np.flatnonzero(zwj_left)
+            ep_sub = extpict(cps[1:][sub])
+            d[sub[ep_sub]] = 0
     wseg = _WSEG_BMP[np.minimum(cps, 0xFFFF)]  # astral cps are never WSegSpace
     _rule(d, wseg[:-1] & wseg[1:], 0)  # WB3d
-    _rule(d, _WB_IGN[Q], 0)  # WB4: ignorables attach left
 
-    lb_at = _last_le(~ign, idx)
-    jarr = lb_at[:-1]  # left element base for boundary-before-i
-    _rule(d, jarr < 0, 1)  # sot + ignorables
-    jp = props[np.maximum(jarr, 0)]
+    if any_ign:
+        _rule(d, _WB_IGN[Q], 0)  # WB4: ignorables attach left
+        lb_at = _last_le(~ign, idx)
+        jarr = lb_at[:-1]  # left element base for boundary-before-i
+        _rule(d, jarr < 0, 1)  # sot + ignorables
+        jp = props[np.maximum(jarr, 0)]
+    else:
+        jarr = idx[:-1]
+        jp = P
 
     undec = d == -1
     acts = np.where(undec, _WB_ACT[jp, Q], -1)
@@ -316,41 +329,60 @@ def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) ->
 
     ctx = acts >= 10
     if ctx.any():
+        # resolve the six lookahead/lookback rules SPARSELY: only the
+        # (rare) context positions pay for the extra maps and gathers
+        sub = np.flatnonzero(ctx)
+        acts_s = acts[sub]
+        jp_s = jp[sub]
+        Q_s = Q[sub]
+        kp_s = j2p_s = None
         # lookahead: next element base at/after i+1
-        need_k = ctx & ((acts == _C6) | (acts == _C7B) | (acts == _C12))
+        need_k = (acts_s == _C6) | (acts_s == _C7B) | (acts_s == _C12)
         if need_k.any():
-            nb_at = _next_ge(~ign, idx, n)
-            nb_ext = np.concatenate([nb_at, [n]])
-            karr = nb_ext[2:]
-            kp = np.where(karr < n, props[np.minimum(karr, n - 1)], _W.OTHER)
+            if any_ign:
+                nb_at = _next_ge(~ign, idx, n)
+                nb_ext = np.concatenate([nb_at, [n]])
+                karr_s = nb_ext[sub + 2]
+            else:
+                karr_s = sub + 2
+            kp_s = np.where(karr_s < n, props[np.minimum(karr_s, n - 1)], _W.OTHER)
         # lookback: element base before the left base
-        need_j2 = ctx & ((acts == _C7) | (acts == _C7C) | (acts == _C11))
+        need_j2 = (acts_s == _C7) | (acts_s == _C7C) | (acts_s == _C11)
         if need_j2.any():
-            j2 = np.where(jarr >= 1, lb_at[np.maximum(jarr - 1, 0)], -1)
-            j2p = np.where(j2 >= 0, props[np.maximum(j2, 0)], _W.OTHER)
+            jarr_s = jarr[sub]
+            if any_ign:
+                j2_s = np.where(jarr_s >= 1, lb_at[np.maximum(jarr_s - 1, 0)], -1)
+            else:
+                j2_s = jarr_s - 1
+            j2p_s = np.where(j2_s >= 0, props[np.maximum(j2_s, 0)], _W.OTHER)
         for code, cond in (
-            (_C6, (lambda: _WB_AH[kp])),
-            (_C7B, (lambda: kp == _W.HEBREW)),
-            (_C12, (lambda: kp == _W.NUMERIC)),
-            (_C7, (lambda: _WB_AH[j2p])),
-            (_C7C, (lambda: j2p == _W.HEBREW)),
-            (_C11, (lambda: j2p == _W.NUMERIC)),
+            (_C6, (lambda: _WB_AH[kp_s])),
+            (_C7B, (lambda: kp_s == _W.HEBREW)),
+            (_C12, (lambda: kp_s == _W.NUMERIC)),
+            (_C7, (lambda: _WB_AH[j2p_s])),
+            (_C7C, (lambda: j2p_s == _W.HEBREW)),
+            (_C11, (lambda: j2p_s == _W.NUMERIC)),
         ):
-            m_ = acts == code
+            m_ = acts_s == code
             if m_.any():
                 ok = m_ & cond()
-                d[ok] = 0
-                d[m_ & ~ok] = _WB_DFT[jp[m_ & ~ok], Q[m_ & ~ok]]
-        m_ = acts == _CRI
+                d[sub[ok]] = 0
+                rest = m_ & ~ok
+                d[sub[rest]] = _WB_DFT[jp_s[rest], Q_s[rest]]
+        m_ = acts_s == _CRI
         if m_.any():  # WB15/16: pair up RIs left-to-right (element parity)
-            ranks = np.cumsum(~ign) - 1
-            el_props = props[np.flatnonzero(~ign)]
+            if any_ign:
+                ranks = np.cumsum(~ign) - 1
+                el_props = props[np.flatnonzero(~ign)]
+            else:
+                ranks = idx
+                el_props = props
             mlen = len(el_props)
             ri_run_incl = _run_ending_incl(el_props == _W.RI, np.arange(mlen))
-            rj = np.clip(ranks[np.maximum(jarr, 0)], 0, max(mlen - 1, 0))
+            rj = np.clip(ranks[np.maximum(jarr[sub], 0)], 0, max(mlen - 1, 0))
             even = m_ & ((ri_run_incl[rj] - 1) % 2 == 0)
-            d[even] = 0
-            d[m_ & ~even] = 1
+            d[sub[even]] = 0
+            d[sub[m_ & ~even]] = 1
     d[d == -1] = 1  # WB999
     return dec == 1
 
@@ -373,7 +405,11 @@ def sentence_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
     props = sb_props(cps)
     idx = np.arange(n)
     ign = _SB_IGN[props]
-    lb_at = _last_le(~ign, idx)
+    # Ignorable-free fast path: element bases are the positions
+    # themselves, so the SB5 fold and both lookback maps are identity
+    # shifts and their accumulates/gathers are skipped.
+    any_ign = bool(ign.any())
+    lb_at = _last_le(~ign, idx) if any_ign else idx
 
     dec = np.full(n, -1, dtype=np.int8)
     dec[0] = 1  # SB1
@@ -382,17 +418,24 @@ def sentence_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
 
     _rule(d, (P == _W.S_CR) & (Q == _W.S_LF), 0)  # SB3
     _rule(d, _SB_PARA[P], 1)  # SB4
-    _rule(d, _SB_IGN[Q], 0)  # SB5
-
-    jarr = lb_at[:-1]
+    if any_ign:
+        _rule(d, _SB_IGN[Q], 0)  # SB5
+        jarr = lb_at[:-1]
+        jp = props[np.maximum(jarr, 0)]
+    else:
+        jarr = idx[:-1]
+        jp = P
     s_i = text_start_of[1:]
     j_oob = jarr < s_i  # includes jarr < 0
     _rule(d, j_oob, 0)  # only ignorables precede in-text: attach
-    jp = props[np.maximum(jarr, 0)]
-    _rule(d, _SB_PARA[jp], 1)  # de-ignored after ParaSep
+    if any_ign:
+        _rule(d, _SB_PARA[jp], 1)  # de-ignored after ParaSep
     _rule(d, (jp == _W.S_ATERM) & (Q == _W.S_NUMERIC), 0)  # SB6
 
-    j2 = np.where(jarr >= 1, lb_at[np.maximum(jarr - 1, 0)], -1)
+    if any_ign:
+        j2 = np.where(jarr >= 1, lb_at[np.maximum(jarr - 1, 0)], -1)
+    else:
+        j2 = jarr - 1
     j2_ok = (j2 >= 0) & (j2 >= s_i)
     j2p = np.where(j2_ok, props[np.maximum(j2, 0)], _W.S_OTHER)
     _rule(d, (jp == _W.S_ATERM) & (Q == _W.S_UPPER)
@@ -406,11 +449,21 @@ def sentence_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
         return dec == 1
 
     # left pattern SATerm Close* Sp* (element-sequence walk, SB5-folded)
-    el_pos = np.flatnonzero(~ign)
-    m = len(el_pos)
-    if m:
-        el_cls = props[el_pos]
+    if not any_ign:
+        # identity: elements ARE positions — no flatnonzero/rank remap
+        el_cls = props
+        m = n
+        e_idx = idx
+        rj = np.maximum(jarr, 0)
+    else:
+        el_pos = np.flatnonzero(~ign)
+        m = len(el_pos)
+        el_cls = props[el_pos] if m else props[:0]
         e_idx = np.arange(m)
+        if m:
+            ranks = np.cumsum(~ign) - 1
+            rj = np.clip(ranks[np.maximum(jarr, 0)], 0, m - 1)
+    if m:
         is_sp = el_cls == _W.S_SP
         is_cl = el_cls == _W.S_CLOSE
         last_nonsp = _last_le(~is_sp, e_idx)
@@ -419,8 +472,6 @@ def sentence_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
         e1c = np.maximum(e1, 0)
         k2 = np.where(e1 >= 0, np.where(is_cl[e1c], last_noncl[e1c], e1), -1)
         k2_cls = np.where(k2 >= 0, el_cls[np.maximum(k2, 0)], _W.S_OTHER)
-        ranks = np.cumsum(~ign) - 1
-        rj = np.clip(ranks[np.maximum(jarr, 0)], 0, m - 1)
         k2_cls_i = k2_cls[rj]
         sp_seen = is_sp[rj]
     else:  # all-ignorable batch: every position already decided above
@@ -700,112 +751,152 @@ def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None
     C = lb_classes(cps)
     idx = np.arange(n)
 
-    # LB9/LB10 collapse: cluster starts
+    # LB9/LB10 collapse: cluster starts.  Attach-free fast path (ASCII /
+    # most Latin corpora carry no CM/ZWJ): clusters are the codepoints
+    # themselves — the fold, the flatnonzero and the re-gathers vanish.
     attach = _LB_ATTACH[C]
-    lastb = _last_le(~attach, idx)
-    cond = attach & (lastb == idx - 1) & (lastb >= 0) & _LB_NONABS[C[np.maximum(lastb, 0)]]
-    cs = (~attach) | cond
-    cs[0] = True
-    starts = np.flatnonzero(cs)
+    if attach.any():
+        lastb = _last_le(~attach, idx)
+        cond = attach & (lastb == idx - 1) & (lastb >= 0) & _LB_NONABS[C[np.maximum(lastb, 0)]]
+        cs = (~attach) | cond
+        cs[0] = True
+        starts = np.flatnonzero(cs)
+        ccls = C[starts]
+        ccls = np.where(_LB_ATTACH[ccls], _L.LB_AL, ccls).astype(np.int64)  # LB10
+        base_cps = cps[starts]  # cluster base codepoints (Pi/Pf, U+25CC)
+        lb8a_left = C[starts[1:] - 1] == _L.LB_ZWJ if len(starts) > 1 else None
+    else:
+        starts = idx
+        ccls = C  # int8 is a valid (non-negative) LUT index; no copy
+        base_cps = cps
+        lb8a_left = None  # ZWJ is an attach class — none present
     K = len(starts)
-    ccls = C[starts]
-    ccls = np.where(_LB_ATTACH[ccls], _L.LB_AL, ccls).astype(np.int64)  # LB10
 
     dcl = np.full(K, -1, dtype=np.int8)
     dcl[0] = 0  # no opportunity before the first cluster (sot)
     if K > 1:
         d = dcl[1:]
         B, A = ccls[:-1], ccls[1:]
-        base_cps = cps[starts]  # cluster base codepoints (Pi/Pf, U+25CC)
         # LB8a pre-mask: if cluster k-1's last RAW cp is ZWJ, every rule
         # with priority <= LB8 that could also fire (LB6/LB7) is itself
         # a no-break, and LB4/5/8's left classes (BK/CR/LF/NL/SP/ZW) are
         # single-cp clusters that cannot end in ZWJ — so the mask
         # commutes with the chain prefix and may be applied first.
-        _rule(d, C[starts[1:] - 1] == _L.LB_ZWJ, 0)  # LB8a
+        if lb8a_left is not None:
+            _rule(d, lb8a_left, 0)  # LB8a
 
         undec = d == -1
         acts = np.where(undec, _LB_ACT[B, A], -3)
         d[acts == 0] = 0
         d[acts == 1] = 1
 
-        k_idx = np.arange(K)
-        c2 = np.full(K - 1, -1, dtype=np.int64)  # class two clusters left
-        if K > 2:
-            c2[1:] = ccls[:-2]
-        ahead = np.full(K - 1, -1, dtype=np.int64)  # class one cluster right
-        ahead[:-1] = ccls[2:]
-        qside = qside_props(base_cps)  # 1 = Pi, 2 = Pf per cluster base
-        dotted = base_cps == _L.DOTTED_CIRCLE
+        k_idx = idx if K == n else np.arange(K)
+        # qside is shared by the SP-walk and the ctx cascade; one LUT
+        # gather, built only if either needs it
+        qside = None
+
+        def _c2_at(sub):  # class two clusters left of boundary sub
+            return np.where(sub >= 1, ccls[np.maximum(sub - 1, 0)], -1)
+
+        def _ahead_at(sub):  # class one cluster right of boundary sub
+            return np.where(sub + 2 < K, ccls[np.minimum(sub + 2, K - 1)], -1)
 
         m_sp = acts == _LCSP  # B == SP: the left-walk mini-cascade
         if m_sp.any():
-            lastnonsp = _last_le(ccls != _L.LB_SP, k_idx)
-            jcl = lastnonsp[:-1]
+            # SPARSE: every op below runs on the SP boundaries only
+            subs = np.flatnonzero(m_sp)
+            qside = qside_props(base_cps)
+            # single-space shortcut: when no SP cluster is preceded by
+            # another SP (checked sparsely), the nearest non-SP to the
+            # left is simply subs-1 — the full accumulate is skipped
+            left_sp = (subs > 0) & (ccls[np.maximum(subs - 1, 0)] == _L.LB_SP)
+            if left_sp.any():
+                lastnonsp = _last_le(ccls != _L.LB_SP, k_idx)
+                jcl = lastnonsp[subs]
+            else:
+                jcl = subs - 1
             jc = np.maximum(jcl, 0)
             nsc = np.where(jcl >= 0, ccls[jc], -1)
             # class of the cluster just left of the nearest non-SP one
             # (-1 at the batch head == the scalar engine's sot case)
             nsc_left = np.where(jcl >= 1, ccls[np.maximum(jcl - 1, 0)], -1)
             nsc_pi = (qside[jc] == 1) & (jcl >= 0)
-            sp = m_sp.copy()
+            A_s = A[subs]
+            ahead_s = _ahead_at(subs)
+            qA_s = qside[subs + 1]
+            sp = np.ones(len(subs), dtype=bool)
 
             def sp_rule(mask, val):
                 mm = sp & mask
-                d[mm] = val
+                d[subs[mm]] = val
                 sp[mm] = False
 
             sp_rule(nsc == _L.LB_ZW, 1)  # LB8 across spaces
-            sp_rule(A == _L.LB_WJ, 0)  # LB11
-            sp_rule(_LB13_SET[A], 0)  # LB13
+            sp_rule(A_s == _L.LB_WJ, 0)  # LB11
+            sp_rule(_LB13_SET[A_s], 0)  # LB13
             sp_rule(nsc == _L.LB_OP, 0)  # LB14
             # LB15a: (sot|allowed) [QU&Pi] SP* x
             sp_rule((nsc == _L.LB_QU) & nsc_pi
                     & ((nsc_left < 0) | _LB15A_LEFT[np.maximum(nsc_left, 0)]), 0)
             # LB15b: x [QU&Pf] (allowed | eot)
-            sp_rule((A == _L.LB_QU) & (qside[1:] == 2)
-                    & ((ahead < 0) | _LB15B_RIGHT[np.maximum(ahead, 0)]), 0)
+            sp_rule((A_s == _L.LB_QU) & (qA_s == 2)
+                    & ((ahead_s < 0) | _LB15B_RIGHT[np.maximum(ahead_s, 0)]), 0)
             # LB15.3: SP x IS NU is a break opportunity
-            sp_rule((A == _L.LB_IS) & (ahead == _L.LB_NU), 1)
-            sp_rule(A == _L.LB_IS, 0)  # LB15.4
-            sp_rule(((nsc == _L.LB_CL) | (nsc == _L.LB_CP)) & (A == _L.LB_NS), 0)  # LB16
-            sp_rule((nsc == _L.LB_B2) & (A == _L.LB_B2), 0)  # LB17
-            d[sp] = 1  # LB18
+            sp_rule((A_s == _L.LB_IS) & (ahead_s == _L.LB_NU), 1)
+            sp_rule(A_s == _L.LB_IS, 0)  # LB15.4
+            sp_rule(((nsc == _L.LB_CL) | (nsc == _L.LB_CP)) & (A_s == _L.LB_NS), 0)  # LB16
+            sp_rule((nsc == _L.LB_B2) & (A_s == _L.LB_B2), 0)  # LB17
+            d[subs[sp]] = 1  # LB18
 
         m_ctx = acts == 2
         if m_ctx.any():
-            bits = _LB_CTX[B, A]
-            pending = m_ctx.copy()
+            # SPARSE: context positions only (quotes/hyphens/digits are a
+            # small fraction of real text)
+            subc = np.flatnonzero(m_ctx)
+            if qside is None:
+                qside = qside_props(base_cps)
+            B_c, A_c = B[subc], A[subc]
+            c2_c = _c2_at(subc)
+            ahead_c = _ahead_at(subc)
+            qB_c, qA_c = qside[subc], qside[subc + 1]
+            bits = _LB_CTX[B_c, A_c]
+            pending = np.ones(len(subc), dtype=bool)
 
             def ctx_rule(bit, cond, val=0):
                 mm = pending & ((bits & bit) != 0)
                 if mm.any():
                     ok = mm & cond()
-                    d[ok] = val
+                    d[subc[ok]] = val
                     pending[ok] = False
 
             # LB15a (B != SP: B itself is the nearest non-SP cluster)
-            ctx_rule(_LCB_15A, lambda: (qside[:-1] == 1)
-                     & ((c2 < 0) | _LB15A_LEFT[np.maximum(c2, 0)]))
+            ctx_rule(_LCB_15A, lambda: (qB_c == 1)
+                     & ((c2_c < 0) | _LB15A_LEFT[np.maximum(c2_c, 0)]))
             # LB15b
-            ctx_rule(_LCB_15B, lambda: (qside[1:] == 2)
-                     & ((ahead < 0) | _LB15B_RIGHT[np.maximum(ahead, 0)]))
+            ctx_rule(_LCB_15B, lambda: (qA_c == 2)
+                     & ((ahead_c < 0) | _LB15B_RIGHT[np.maximum(ahead_c, 0)]))
 
             # LB19 (East-Asian-aware): a quote glues unless both sides
             # are East-Asian context and the quote is directional Pi/Pf
             def lb19_cond():
-                eaw = eaw_flags(base_cps)
-                eawB, eawA = eaw[:-1], eaw[1:]
-                eaw_ahead = np.zeros(K - 1, dtype=bool)
-                eaw_ahead[:-1] = eaw[2:]
-                eaw_prev2 = np.zeros(K - 1, dtype=bool)
-                if K > 2:
-                    eaw_prev2[1:] = eaw[:-2]
-                aq = A == _L.LB_QU
-                bq = B == _L.LB_QU
+                eawB = eaw_flags(base_cps[np.maximum(subc, 0)])
+                eawA = eaw_flags(base_cps[subc + 1])
+                k_ahead = subc + 2
+                eaw_ahead = np.zeros(len(subc), dtype=bool)
+                in_r = k_ahead < K
+                if in_r.any():
+                    eaw_ahead[in_r] = eaw_flags(base_cps[k_ahead[in_r]])
+                eaw_prev2 = np.zeros(len(subc), dtype=bool)
+                in_l = subc >= 1
+                if in_l.any():
+                    eaw_prev2[in_l] = eaw_flags(
+                        base_cps[np.maximum(subc - 1, 0)][in_l]
+                    )
+                aq = A_c == _L.LB_QU
+                bq = B_c == _L.LB_QU
                 return (
-                    (aq & (qside[1:] != 1))
-                    | (bq & (qside[:-1] != 2))
+                    (aq & (qA_c != 1))
+                    | (bq & (qB_c != 2))
                     | (aq & ~eawB)
                     | (aq & ~eaw_ahead)
                     | (bq & ~eawA)
@@ -814,46 +905,49 @@ def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None
 
             ctx_rule(_LCB_19, lb19_cond)
             # LB20a: (sot|allowed) (HY|HH) x (AL|HL)
-            ctx_rule(_LCB_20A, lambda: (c2 < 0) | _LB20A_LEFT[np.maximum(c2, 0)])
+            ctx_rule(_LCB_20A, lambda: (c2_c < 0) | _LB20A_LEFT[np.maximum(c2_c, 0)])
             # LB21a: HL (HY|HH) x [^HL]
-            ctx_rule(_LCB_21A, lambda: c2 == _L.LB_HL)
+            ctx_rule(_LCB_21A, lambda: c2_c == _L.LB_HL)
 
             # LB28a: aksara clusters (Dotted Circle acts as a base)
             def lb28a_cond():
-                dl, dr = dotted[:-1], dotted[1:]
-                d2 = np.zeros(K - 1, dtype=bool)
-                if K > 2:
-                    d2[1:] = dotted[:-2]
-                base_l = (B == _L.LB_AK) | (B == _L.LB_AS) | dl
-                base_r = (A == _L.LB_AK) | (A == _L.LB_AS) | dr
-                r1 = (B == _L.LB_AP) & base_r
-                r2 = base_l & ((A == _L.LB_VF) | (A == _L.LB_VI))
-                r3 = (B == _L.LB_VI) & ((A == _L.LB_AK) | dr) \
-                    & ((c2 == _L.LB_AK) | (c2 == _L.LB_AS) | d2)
-                r4 = base_l & base_r & (ahead == _L.LB_VF)
+                dl = base_cps[subc] == _L.DOTTED_CIRCLE
+                dr = base_cps[subc + 1] == _L.DOTTED_CIRCLE
+                d2 = np.zeros(len(subc), dtype=bool)
+                in_l = subc >= 1
+                if in_l.any():
+                    d2[in_l] = (
+                        base_cps[np.maximum(subc - 1, 0)][in_l] == _L.DOTTED_CIRCLE
+                    )
+                base_l = (B_c == _L.LB_AK) | (B_c == _L.LB_AS) | dl
+                base_r = (A_c == _L.LB_AK) | (A_c == _L.LB_AS) | dr
+                r1 = (B_c == _L.LB_AP) & base_r
+                r2 = base_l & ((A_c == _L.LB_VF) | (A_c == _L.LB_VI))
+                r3 = (B_c == _L.LB_VI) & ((A_c == _L.LB_AK) | dr) \
+                    & ((c2_c == _L.LB_AK) | (c2_c == _L.LB_AS) | d2)
+                r4 = base_l & base_r & (ahead_c == _L.LB_VF)
                 return r1 | r2 | r3 | r4
 
             ctx_rule(_LCB_28A, lb28a_cond)
             # LB30: bracket joins unless the bracket is East-Asian
             need_30 = pending & ((bits & (_LCB_30R | _LCB_30L)) != 0)
             if need_30.any():
-                eaw30 = eaw_flags(base_cps)
-                ctx_rule(_LCB_30R, lambda: ~eaw30[1:])
-                ctx_rule(_LCB_30L, lambda: ~eaw30[:-1])
+                ctx_rule(_LCB_30R, lambda: ~eaw_flags(base_cps[subc + 1]))
+                ctx_rule(_LCB_30L, lambda: ~eaw_flags(base_cps[subc]))
             # LB30a: RI pair parity
             ri_bit = pending & ((bits & _LCB_RI) != 0)
             if ri_bit.any():
                 ri_run = _run_ending_incl(ccls == _L.LB_RI, k_idx)
-                ok = ri_bit & (ri_run[:-1] % 2 == 1)
-                d[ok] = 0
+                ok = ri_bit & (ri_run[subc] % 2 == 1)
+                d[subc[ok]] = 0
                 pending[ok] = False
             # LB30b second clause: unassigned-ExtPict base x EM
             cn_bit = pending & ((bits & _LCB_30CN) != 0)
             if cn_bit.any():
-                ok = cn_bit & epcn_flags(base_cps)[:-1]
-                d[ok] = 0
+                ok = cn_bit & epcn_flags(base_cps[subc])
+                d[subc[ok]] = 0
                 pending[ok] = False
-            d[pending] = _LB_DFT[B[pending], A[pending]]
+            d[subc[pending]] = _LB_DFT[B_c[pending], A_c[pending]]
         d[d == -1] = 1  # unreachable: the table always decides
 
     brk = np.zeros(n, dtype=bool)
