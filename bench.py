@@ -338,14 +338,35 @@ def main() -> None:
         # sees similar machine state, and the headline efficiency is
         # ALSO normalized by the same-run ALU ceiling — the number that
         # separates "the job doesn't scale" from "the box was busy".
+        # r5: SEVEN probes (4 high, 3 low), tightly interleaved.  The r4
+        # 5-probe schedule assumed the low side was burst-immune; the
+        # Arrow transport made the 2-core job fast enough to swing with
+        # the box too (observed 102-138 s in one session), so both sides
+        # now need multiple samples.  Estimators reported side by side:
+        # the r4-compatible median-high/min-low, a min/min variant (the
+        # standard uncontended-machine estimator, cf. timeit), and the
+        # best ADJACENT high/low pair (bursts are ~10-min episodes, so
+        # one adjacent pair usually lands clean — never cross-window).
+        probe_order = (HIGH, LOW, HIGH, LOW, HIGH, LOW, HIGH)
         highs, lows = [], []
-        for i, cores in enumerate((HIGH, LOW, HIGH, LOW, HIGH)):
+        probes = []
+        for i, cores in enumerate(probe_order):
             time.sleep(5)
             r = run_pipeline_at(cores, SF_DIR, SCALE_K)
-            log(f"[bench] scaling probe {i + 1}/5 local[{cores}]: {r}")
+            log(f"[bench] scaling probe {i + 1}/{len(probe_order)} local[{cores}]: {r}")
+            probes.append((cores, r))
             (highs if cores == HIGH else lows).append(r)
-        high = sorted(highs, key=lambda r: r["wall_sec"])[1]  # median of 3
-        low = min(lows, key=lambda r: r["wall_sec"])  # low side repeats ±6%
+        high = sorted(highs, key=lambda r: r["wall_sec"])[1]  # lower median of 4
+        low = min(lows, key=lambda r: r["wall_sec"])
+        pair_effs = [
+            round(
+                (b["wall_sec"] / a["wall_sec"]) / (HIGH / LOW)
+                if ca == HIGH
+                else (a["wall_sec"] / b["wall_sec"]) / (HIGH / LOW),
+                3,
+            )
+            for (ca, a), (cb, b) in zip(probes, probes[1:])
+        ]
         # weak-scaling: HIGH//LOW concurrent independent copies of the
         # low-core job (the single-box analog of separate executors)
         weak_walls = run_weak_scaling(LOW, HIGH, SF_DIR, SCALE_K)
@@ -365,6 +386,16 @@ def main() -> None:
             "scaling_low_runs": [l["wall_sec"] for l in lows],
             "speedup": round(speedup, 3),
             "scaling_efficiency": round(eff, 3),
+            # min-wall both sides: the uncontended-machine estimator
+            "scaling_efficiency_minmin": round(
+                (min(l["wall_sec"] for l in lows)
+                 / min(h["wall_sec"] for h in highs)) / (HIGH / LOW),
+                3,
+            ),
+            # every adjacent high/low probe pair (chronological) and the
+            # best one — the cleanest same-window ratio this session
+            "adjacent_pair_efficiencies": pair_effs,
+            "scaling_efficiency_best_pair": max(pair_effs) if pair_effs else None,
             # job efficiency relative to what a pure-ALU embarrassingly-
             # parallel workload achieves on the same machine in the same
             # session — the cluster-transferable number (a real 2-node vs
