@@ -29,7 +29,6 @@ from sz_spark.udfs import (
     jaro_winkler_udf,
     levenshtein_udf,
     levenshtein_utf8_udf,
-    make_fingerprint_udf,
     make_levenshtein_affine_udf,
     make_nw_udf,
     make_sw_udf,
@@ -1408,8 +1407,8 @@ def szs_fingerprints(spark, sf):
     ord(char) == byte on both engines (the corpus is 100% ASCII, so no
     rows drop)."""
     d = _t(spark, sf, "documents").filter(F.col("text").rlike("^[ -~]*$"))
-    fp = make_fingerprint_udf(ndim=128, widths=None, seed=0)  # reference defaults
-    return _explode_fp_rows(d.withColumn("_fp", fp(F.col("text"))))
+    # reference defaults (ndim=128, seed 0); Arrow-native transport (r5)
+    return _fp_rows_arrow(d, F.col("text"), ndim=128, seed=0)
 
 
 def szs_fingerprints_full_oracle() -> str:
@@ -1479,6 +1478,41 @@ def _explode_fp_rows(with_fp: DataFrame) -> DataFrame:
     )
 
 
+def _fp_rows_arrow(d: DataFrame, text_col, ndim: int, seed: int = 0) -> DataFrame:
+    """(doc_id, dim, min_hash, min_count) via the Arrow-native transport
+    (udfs.make_fingerprint_arrow_fn — flat-buffer kernel, bit-identical
+    to the pandas make_fingerprint_udf path)."""
+    from pyspark.sql import types as T
+
+    from sz_spark.udfs import make_fingerprint_arrow_fn
+
+    # AQE sizes by bytes and cannot see the kernel's CPU cost — spread
+    # the docs before entering Python (same policy as blocking/scoring)
+    par = d.sparkSession.sparkContext.defaultParallelism
+    src = d.repartition(4 * par).select(
+        "doc_id", F.encode(text_col, "utf-8").alias("_t")
+    )
+    schema = T.StructType(
+        [
+            src.schema["doc_id"],
+            T.StructField("hashes", T.ArrayType(T.LongType()), False),
+            T.StructField("counts", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    out = src.mapInArrow(make_fingerprint_arrow_fn(ndim=ndim, seed=seed), schema)
+    return (
+        out.select(
+            "doc_id", F.posexplode(F.arrays_zip("hashes", "counts")).alias("dim", "hc")
+        )
+        .select(
+            "doc_id",
+            "dim",
+            F.col("hc.hashes").alias("min_hash"),
+            F.col("hc.counts").alias("min_count"),
+        )
+    )
+
+
 FP_ORACLE_NDIM = 8
 FP_ORACLE_MAXLEN = 256
 FP_ORACLE_DOC_MOD = 8
@@ -1497,8 +1531,7 @@ def szs_fingerprints_small(spark, sf):
         & F.col("text").rlike("^[ -~]*$")
     )
     d = d.select("doc_id", F.substring("text", 1, FP_ORACLE_MAXLEN).alias("t"))
-    fp = make_fingerprint_udf(ndim=FP_ORACLE_NDIM, widths=None, seed=0)
-    return _explode_fp_rows(d.withColumn("_fp", fp(F.col("t"))))
+    return _fp_rows_arrow(d, F.col("t"), ndim=FP_ORACLE_NDIM, seed=0)
 
 
 def szs_fingerprints_small_oracle() -> str:

@@ -249,6 +249,37 @@ def make_band_keys_arrow_fn(
     return fn
 
 
+def make_fingerprint_arrow_fn(ndim: int = 128, widths=None, seed: int = 0):
+    """mapInArrow twin of make_fingerprint_udf: RecordBatch (id, text
+    binary) -> (id, hashes array<long>, counts array<long>), via the
+    flat kernel with zero per-row Python objects."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            data, off = arrow_binary_flat(batch.column(1))
+            h, c = K.fingerprints_flat(data, off, ndim=ndim, widths=widths, seed=seed)
+            n = h.shape[0]
+            offs32 = pa.array(
+                np.arange(0, (n + 1) * ndim, ndim, dtype=np.int32), type=pa.int32()
+            )
+
+            def lst(mat):
+                return pa.ListArray.from_arrays(
+                    offs32,
+                    pa.array(mat.astype(np.int64).reshape(-1), type=pa.int64()),
+                )
+
+            yield pa.RecordBatch.from_arrays(
+                [ids, lst(h), lst(c)], [batch.schema.names[0], "hashes", "counts"]
+            )
+
+    return fn
+
+
 def make_bounded_lev_arrow_fn(threshold: float, chunk: int = 1024):
     """mapInArrow twin of make_bounded_levenshtein_udf: RecordBatch
     (*carry, _ba binary, _bb binary) -> (*carry, edit_distance long).
