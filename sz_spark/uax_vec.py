@@ -149,15 +149,20 @@ def _lut(size, members):
     return a
 
 
-_WB_IGN = _lut(18, (_W.EXTEND, _W.FORMAT, _W.ZWJ))
-_WB_NEWL = _lut(18, (_W.CR, _W.LF, _W.NEWLINE))
-_WB_AH = _lut(18, (_W.ALETTER, _W.HEBREW))
-_WB_MIDNLQ = _lut(18, (_W.MIDNUMLET, _W.SINGLE_QUOTE))
+# WB LUTs are sized 19 so they accept the extended WSegSpace class code
+# (_WBX_WSEG = 18, plain class Other) used by the fused fast path.
+_WB_IGN = _lut(19, (_W.EXTEND, _W.FORMAT, _W.ZWJ))
+_WB_NEWL = _lut(19, (_W.CR, _W.LF, _W.NEWLINE))
+_WB_AH = _lut(19, (_W.ALETTER, _W.HEBREW))
+_WB_MIDNLQ = _lut(19, (_W.MIDNUMLET, _W.SINGLE_QUOTE))
 _WSEG_ARR = np.asarray(sorted(_W._WSEGSPACE_CPS), dtype=np.int64)
 
 _SB_IGN = _lut(15, (_W.S_EXTEND, _W.S_FORMAT))
 _SB_PARA = _lut(15, (_W.S_SEP, _W.S_CR, _W.S_LF))
 _SB_BLOCK = _lut(15, _W._SB8_BLOCKERS)
+_SB_TERM = _lut(15, (_W.S_ATERM, _W.S_STERM))
+_SB_CLOSE1 = _lut(15, (_W.S_CLOSE,))
+_SB_SP1 = _lut(15, (_W.S_SP,))
 
 _NLB = 44  # Line_Break classes incl. newest-TR14 AK/AP/AS/VF/VI/HH + CB
 _LB_NONABS = _lut(_NLB, (_L.LB_BK, _L.LB_CR, _L.LB_LF, _L.LB_NL, _L.LB_SP, _L.LB_ZW))
@@ -275,6 +280,51 @@ _WB_ACT, _WB_DFT = _build_wb_pair_tables()
 _WSEG_BMP = np.zeros(0x10000, dtype=bool)
 _WSEG_BMP[list(_W._WSEGSPACE_CPS)] = True
 
+# --- fused fast-path tables: extended 19-class props (18 = WSegSpace, a
+# raw-codepoint set in the scalar engine, plain Word_Break class Other —
+# all 14 cps are BMP) so WB3d becomes a pair-table entry, and the whole
+# raw-prefix chain WB3/WB3a/WB3b/WB3d + post-WB4 chain is ONE gather.
+_WBX_WSEG = 18
+_WBX_SLOW = 98  # pair touches an ignorable: the batch takes the full path
+_WBX_BMP = _WB_BMP.copy()
+_WBX_BMP[_WSEG_ARR] = _WBX_WSEG  # every WSegSpace cp is BMP (checked above)
+
+
+def wbx_props(cps):
+    """Extended WB classes; astral cps resolve through the plain table
+    (no astral codepoint is WSegSpace)."""
+    return _lookup(_WB_STARTS, _WB_PROPS, cps, _WBX_BMP)
+
+
+def _build_wbx_tables():
+    """(ACTION, DEFAULT) over extended (p, q): the no-ignorable scalar
+    chain in rule order — WB3, WB3a, WB3b, [WB3c/WB4 unreachable: ZWJ /
+    Extend / Format pairs get the _WBX_SLOW marker], WB3d, then the
+    post-fold chain of _build_wb_pair_tables."""
+    igns = (_W.EXTEND, _W.FORMAT, _W.ZWJ)
+    newl = (_W.CR, _W.LF, _W.NEWLINE)
+    act = np.full((19, 19), 1, dtype=np.int8)
+    dft = np.full((19, 19), 1, dtype=np.int8)
+    for pe in range(19):
+        for qe in range(19):
+            p = _W.OTHER if pe == _WBX_WSEG else pe
+            q = _W.OTHER if qe == _WBX_WSEG else qe
+            if p in igns or q in igns:
+                act[pe, qe] = dft[pe, qe] = _WBX_SLOW
+            elif p == _W.CR and q == _W.LF:
+                act[pe, qe] = dft[pe, qe] = 0  # WB3
+            elif p in newl or q in newl:
+                act[pe, qe] = dft[pe, qe] = 1  # WB3a / WB3b
+            elif pe == _WBX_WSEG and qe == _WBX_WSEG:
+                act[pe, qe] = dft[pe, qe] = 0  # WB3d
+            else:
+                act[pe, qe] = _WB_ACT[p, q]
+                dft[pe, qe] = _WB_DFT[p, q]
+    return act, dft
+
+
+_WBX_ACT, _WBX_DFT = _build_wbx_tables()
+
 
 def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) -> np.ndarray:
     """bool[i] = word boundary exists before codepoint index i.
@@ -286,46 +336,53 @@ def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) ->
     n = len(cps)
     if n == 0:
         return np.zeros(0, dtype=bool)
-    props = wb_props(cps)
-    ign = _WB_IGN[props]
-    # Ignorable-free fast path (ASCII and most Latin corpora): every
-    # element base IS its codepoint position, so the WB4 fold and the
-    # lookback/lookahead index maps collapse to identity shifts — the
-    # accumulates and their gathers are skipped entirely.
+    px = wbx_props(cps)  # extended classes: WSegSpace = _WBX_WSEG
+    ign = _WB_IGN[px]
     any_ign = bool(ign.any())
     idx = np.arange(n)
 
     dec = np.full(n, -1, dtype=np.int8)
     dec[0] = 1  # WB1
     d = dec[1:]
-    P, Q = props[:-1], props[1:]
 
-    _rule(d, (P == _W.CR) & (Q == _W.LF), 0)  # WB3
-    _rule(d, _WB_NEWL[P], 1)  # WB3a
-    _rule(d, _WB_NEWL[Q], 1)  # WB3b
-    if any_ign:  # ZWJ is an ignorable — none exist on the fast path
+    if any_ign:
+        props = px.copy()
+        props[px == _WBX_WSEG] = _W.OTHER
+        P, Q = props[:-1], props[1:]
+
+        _rule(d, (P == _W.CR) & (Q == _W.LF), 0)  # WB3
+        _rule(d, _WB_NEWL[P], 1)  # WB3a
+        _rule(d, _WB_NEWL[Q], 1)  # WB3b
         zwj_left = (P == _W.ZWJ) & (d == -1)
         if zwj_left.any():  # WB3c (raw adjacency, lazy ExtPict gather)
             sub = np.flatnonzero(zwj_left)
             ep_sub = extpict(cps[1:][sub])
             d[sub[ep_sub]] = 0
-    wseg = _WSEG_BMP[np.minimum(cps, 0xFFFF)]  # astral cps are never WSegSpace
-    _rule(d, wseg[:-1] & wseg[1:], 0)  # WB3d
+        wseg = px == _WBX_WSEG
+        _rule(d, wseg[:-1] & wseg[1:], 0)  # WB3d
 
-    if any_ign:
         _rule(d, _WB_IGN[Q], 0)  # WB4: ignorables attach left
         lb_at = _last_le(~ign, idx)
         jarr = lb_at[:-1]  # left element base for boundary-before-i
         _rule(d, jarr < 0, 1)  # sot + ignorables
         jp = props[np.maximum(jarr, 0)]
-    else:
-        jarr = idx[:-1]
-        jp = P
 
-    undec = d == -1
-    acts = np.where(undec, _WB_ACT[jp, Q], -1)
-    d[acts == 0] = 0
-    d[acts == 1] = 1
+        undec = d == -1
+        acts = np.where(undec, _WB_ACT[jp, Q], np.int8(-1))
+        d[acts == 0] = 0
+        d[acts == 1] = 1
+    else:
+        # FUSED fast path (ASCII and most Latin corpora): with no
+        # ignorables WB3c/WB4 are unreachable and every element base IS
+        # its position, so the whole raw + post-fold chain (WB3, WB3a/b,
+        # WB3d via the extended WSegSpace class, WB5-WB999) is ONE
+        # pair-table gather; only the (rare) context codes pay more.
+        props = px
+        jarr = idx[:-1]
+        jp, Q = px[:-1], px[1:]
+        acts = _WBX_ACT[jp, Q]
+        d[acts == 0] = 0
+        d[acts == 1] = 1
 
     ctx = acts >= 10
     if ctx.any():
@@ -368,7 +425,7 @@ def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) ->
                 ok = m_ & cond()
                 d[sub[ok]] = 0
                 rest = m_ & ~ok
-                d[sub[rest]] = _WB_DFT[jp_s[rest], Q_s[rest]]
+                d[sub[rest]] = _WBX_DFT[jp_s[rest], Q_s[rest]]
         m_ = acts_s == _CRI
         if m_.any():  # WB15/16: pair up RIs left-to-right (element parity)
             if any_ign:
@@ -521,6 +578,16 @@ def _build_gb_pair_table() -> np.ndarray:
                 t[b, a] = 0  # GB9a
             elif b == _G.G_PREPEND:
                 t[b, a] = 0  # GB9b
+    # Bake GB999 for pairs no context rule can reach, so prose batches
+    # skip the context block entirely: GB9c needs the cp left of the
+    # boundary to be InCB Linker/Extend (GCB class Extend or ZWJ), GB11
+    # needs B == ZWJ, GB12/13 need an (RI, RI) pair.
+    for b in range(14):
+        for a in range(14):
+            if t[b, a] == 2 and not (
+                b in (_G.G_EXTEND, _G.G_ZWJ) or (b == _G.G_RI and a == _G.G_RI)
+            ):
+                t[b, a] = 1
     return t
 
 
