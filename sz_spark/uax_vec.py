@@ -339,13 +339,13 @@ def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) ->
     px = wbx_props(cps)  # extended classes: WSegSpace = _WBX_WSEG
     ign = _WB_IGN[px]
     any_ign = bool(ign.any())
-    idx = np.arange(n)
 
     dec = np.full(n, -1, dtype=np.int8)
     dec[0] = 1  # WB1
     d = dec[1:]
 
     if any_ign:
+        idx = np.arange(n)
         props = px.copy()
         props[px == _WBX_WSEG] = _W.OTHER
         P, Q = props[:-1], props[1:]
@@ -377,8 +377,10 @@ def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) ->
         # its position, so the whole raw + post-fold chain (WB3, WB3a/b,
         # WB3d via the extended WSegSpace class, WB5-WB999) is ONE
         # pair-table gather; only the (rare) context codes pay more.
+        # jarr = None marks "element base == position" so the ctx block
+        # can use `sub` directly — no arange is ever materialized here.
         props = px
-        jarr = idx[:-1]
+        jarr = None
         jp, Q = px[:-1], px[1:]
         acts = _WBX_ACT[jp, Q]
         d[acts == 0] = 0
@@ -406,11 +408,11 @@ def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) ->
         # lookback: element base before the left base
         need_j2 = (acts_s == _C7) | (acts_s == _C7C) | (acts_s == _C11)
         if need_j2.any():
-            jarr_s = jarr[sub]
             if any_ign:
+                jarr_s = jarr[sub]
                 j2_s = np.where(jarr_s >= 1, lb_at[np.maximum(jarr_s - 1, 0)], -1)
             else:
-                j2_s = jarr_s - 1
+                j2_s = sub - 1  # element base == position on the fast path
             j2p_s = np.where(j2_s >= 0, props[np.maximum(j2_s, 0)], _W.OTHER)
         for code, cond in (
             (_C6, (lambda: _WB_AH[kp_s])),
@@ -431,12 +433,13 @@ def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) ->
             if any_ign:
                 ranks = np.cumsum(~ign) - 1
                 el_props = props[np.flatnonzero(~ign)]
+                mlen = len(el_props)
+                rj = np.clip(ranks[np.maximum(jarr[sub], 0)], 0, max(mlen - 1, 0))
             else:
-                ranks = idx
                 el_props = props
-            mlen = len(el_props)
+                mlen = len(el_props)
+                rj = sub  # element rank == position on the fast path
             ri_run_incl = _run_ending_incl(el_props == _W.RI, np.arange(mlen))
-            rj = np.clip(ranks[np.maximum(jarr[sub], 0)], 0, max(mlen - 1, 0))
             even = m_ & ((ri_run_incl[rj] - 1) % 2 == 0)
             d[sub[even]] = 0
             d[sub[m_ & ~even]] = 1
@@ -445,6 +448,105 @@ def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) ->
 
 
 # --- SENTENCE boundaries (SB1-SB11) ----------------------------------------
+
+# fused-table context codes (fast path)
+_SBX_SB7, _SBX_SCAN, _SBX_WALK, _SBX_SLOW = 10, 11, 12, 98
+
+
+def _build_sbx_table():
+    """Bake the ignorable-free SB chain (the exact rule order of the
+    slow path below: SB3, SB4, SB6, SB7, SB998, SB8, SB8a, SB9, SB10,
+    SB11) into one (P, Q) action table.  With no ignorables the element
+    base IS P and sp_seen == (P is Sp), so the only residual context is:
+    _SBX_SB7  — SB7's j2 lookback (P=ATerm, Q=Upper; default is 1),
+    _SBX_SCAN — SB8's forward blocker scan (ATerm behind, non-blocker Q,
+                rest-of-chain would break),
+    _SBX_WALK — P in {Sp, Close}: the SATerm Close* Sp* walk decides."""
+    blockers = _W._SB8_BLOCKERS
+    para = (_W.S_SEP, _W.S_CR, _W.S_LF)
+    igns = (_W.S_EXTEND, _W.S_FORMAT)
+
+    def tail(p, q, k2):
+        """Chain outcome after SB7 given the walk result k2: 0/1/'scan'."""
+        if k2 not in (_W.S_ATERM, _W.S_STERM):
+            return 0  # SB998
+        scan = False
+        if k2 == _W.S_ATERM:  # SB8
+            if q in blockers:
+                if q == _W.S_LOWER:
+                    return 0
+            else:
+                scan = True  # outcome 0 if the next blocker is Lower
+        if q in (_W.S_SCONTINUE, _W.S_ATERM, _W.S_STERM):
+            return 0  # SB8a
+        if p != _W.S_SP and q == _W.S_CLOSE:
+            return 0  # SB9 (sp_seen == (p is Sp))
+        if q == _W.S_SP or q in para:
+            return 0  # SB10
+        return "scan" if scan else 1  # SB11
+
+    act = np.full((15, 15), 1, dtype=np.int8)
+    for p in range(15):
+        for q in range(15):
+            if p in igns or q in igns:
+                act[p, q] = _SBX_SLOW
+            elif p == _W.S_CR and q == _W.S_LF:
+                act[p, q] = 0  # SB3
+            elif p in para:
+                act[p, q] = 1  # SB4
+            elif p == _W.S_ATERM and q == _W.S_NUMERIC:
+                act[p, q] = 0  # SB6
+            elif p == _W.S_ATERM and q == _W.S_UPPER:
+                act[p, q] = _SBX_SB7  # default (tail with k2=ATerm) is 1
+            elif p in (_W.S_SP, _W.S_CLOSE):
+                # walk result k2 is any non-Sp/Close class (or Other for
+                # out-of-text); bake only if the outcome is invariant
+                outs = {tail(p, q, k2) for k2 in range(15)
+                        if k2 not in (_W.S_SP, _W.S_CLOSE, *igns)}
+                act[p, q] = outs.pop() if len(outs) == 1 and "scan" not in outs else _SBX_WALK
+            else:
+                t = tail(p, q, p)
+                act[p, q] = _SBX_SCAN if t == "scan" else t
+    return act
+
+
+_SBX_ACT = _build_sbx_table()
+
+
+def _run_starts(mask: np.ndarray) -> np.ndarray:
+    """Start index of every maximal True run."""
+    rs = np.flatnonzero(mask[1:] & ~mask[:-1]) + 1
+    if len(mask) and mask[0]:
+        rs = np.concatenate([[0], rs])
+    return rs
+
+
+def _sbx_scan(d, cand, props, n):
+    """SB8 forward scan for sparse d-indices `cand` (Q at cand+1 is a
+    non-blocker): 0 iff the first blocker at/after cand+2 is Lower.
+    Windowed gather loop — ParaSep classes are blockers, so the scan
+    never leaves the text (the LF separator stops it)."""
+    block = _SB_BLOCK[props]
+    res = np.ones(len(cand), dtype=np.int8)
+    cur = cand + 2
+    active = cur < n
+    W = 64
+    while active.any():
+        ai = np.flatnonzero(active)
+        lo = cur[ai]
+        idxs = lo[:, None] + np.arange(W)
+        valid = idxs < n
+        bw = np.zeros(idxs.shape, dtype=bool)
+        bw[valid] = block[idxs[valid]]
+        has = bw.any(axis=1)
+        first = np.argmax(bw, axis=1)
+        hit = ai[has]
+        pos = lo[has] + first[has]
+        res[hit] = np.where(props[pos] == _W.S_LOWER, 0, 1)
+        active[hit] = False
+        cur[ai[~has]] += W
+        active &= cur < n
+    d[cand] = res
 
 
 def sentence_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) -> np.ndarray:
@@ -456,17 +558,99 @@ def sentence_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
     n = len(cps)
     if n == 0:
         return np.zeros(0, dtype=bool)
+    props = sb_props(cps)
+    ign = _SB_IGN[props]
+    any_ign = bool(ign.any())
+
+    if not any_ign:
+        # FUSED fast path: with no ignorables the whole chain is one
+        # (P, Q) table gather (_build_sbx_table); only the sparse SB7 /
+        # SB8-scan / terminator-walk context codes pay more.  The j_oob
+        # attach rule is a provable no-op here (jarr = i-1 < s_i only at
+        # a text's first position, where P is the LF separator and SB4
+        # already broke), so text_start_of is never materialized.
+        dec = np.full(n, -1, dtype=np.int8)
+        dec[0] = 1  # SB1
+        d = dec[1:]
+        P, Q = props[:-1], props[1:]
+        acts = _SBX_ACT[P, Q]
+        d[acts == 0] = 0
+        d[acts == 1] = 1
+        ctx = acts >= 10
+        if ctx.any():
+            sub = np.flatnonzero(ctx)
+            if not np.any(_SB_TERM[props]):
+                # no terminator in the batch: every WALK is SB998-attach
+                # and SB7/SCAN (P = ATerm) cannot occur
+                d[sub] = 0
+                return dec == 1
+            acts_s = acts[sub]
+            scan_cands = []
+            m7 = acts_s == _SBX_SB7
+            if m7.any():  # SB7: ATerm x Upper, j2 lookback
+                p7 = sub[m7]
+                j2 = p7 - 1
+                if isinstance(text_start_of, tuple):
+                    offs = text_start_of[0]
+                    s7 = offs[np.searchsorted(offs, p7 + 1, side="right") - 1]
+                elif text_start_of is None:
+                    s7 = 0
+                else:
+                    s7 = text_start_of[p7 + 1]
+                ok = j2 >= s7
+                j2p = np.where(ok, props[np.maximum(j2, 0)], _W.S_OTHER)
+                hit = (j2p == _W.S_UPPER) | (j2p == _W.S_LOWER)
+                d[p7[hit]] = 0
+                d[p7[~hit]] = 1  # baked default: tail(ATerm, Upper) = 1
+            mw = acts_s == _SBX_WALK
+            if mw.any():  # P in {Sp, Close}: SATerm Close* Sp* walk
+                pw = sub[mw]
+                is_sp = props == _W.S_SP
+                j = pw.copy()
+                sp_here = is_sp[j]
+                if sp_here.any():  # skip the Sp run (runs never span the
+                    rs = _run_starts(is_sp)  # LF separator: LF is not Sp)
+                    st = rs[np.searchsorted(rs, j[sp_here], side="right") - 1]
+                    j[sp_here] = st - 1
+                is_cl = props == _W.S_CLOSE
+                inb = j >= 0
+                cl_here = np.zeros(len(j), dtype=bool)
+                cl_here[inb] = is_cl[j[inb]]
+                if cl_here.any():  # then skip the Close run
+                    rc = _run_starts(is_cl)
+                    st = rc[np.searchsorted(rc, j[cl_here], side="right") - 1]
+                    j[cl_here] = st - 1
+                k2cls = np.where(j >= 0, props[np.maximum(j, 0)], _W.S_OTHER)
+                saterm = _SB_TERM[k2cls]
+                d[pw[~saterm]] = 0  # SB998
+                if saterm.any():
+                    ps = pw[saterm]
+                    k2s = k2cls[saterm]
+                    Qs = props[ps + 1]
+                    sp_seen = is_sp[ps]  # element base == position
+                    out = np.ones(len(ps), dtype=np.int8)
+                    atm = k2s == _W.S_ATERM
+                    out[atm & (Qs == _W.S_LOWER)] = 0  # SB8, blocker=Q
+                    out[(Qs == _W.S_SCONTINUE) | _SB_TERM[Qs]] = 0  # SB8a
+                    out[(~sp_seen) & (Qs == _W.S_CLOSE)] = 0  # SB9
+                    out[(Qs == _W.S_SP) | _SB_PARA[Qs]] = 0  # SB10
+                    need = atm & ~_SB_BLOCK[Qs] & (out == 1)
+                    keep = ~need
+                    d[ps[keep]] = out[keep]
+                    if need.any():
+                        scan_cands.append(ps[need])
+            msc = acts_s == _SBX_SCAN
+            if msc.any():
+                scan_cands.append(sub[msc])
+            if scan_cands:
+                _sbx_scan(d, np.concatenate(scan_cands), props, n)
+        return dec == 1
+
     text_start_of = _expand_tso(text_start_of)
     if text_start_of is None:
         text_start_of = np.zeros(n, dtype=np.int64)
-    props = sb_props(cps)
     idx = np.arange(n)
-    ign = _SB_IGN[props]
-    # Ignorable-free fast path: element bases are the positions
-    # themselves, so the SB5 fold and both lookback maps are identity
-    # shifts and their accumulates/gathers are skipped.
-    any_ign = bool(ign.any())
-    lb_at = _last_le(~ign, idx) if any_ign else idx
+    lb_at = _last_le(~ign, idx)
 
     dec = np.full(n, -1, dtype=np.int8)
     dec[0] = 1  # SB1
@@ -475,24 +659,16 @@ def sentence_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
 
     _rule(d, (P == _W.S_CR) & (Q == _W.S_LF), 0)  # SB3
     _rule(d, _SB_PARA[P], 1)  # SB4
-    if any_ign:
-        _rule(d, _SB_IGN[Q], 0)  # SB5
-        jarr = lb_at[:-1]
-        jp = props[np.maximum(jarr, 0)]
-    else:
-        jarr = idx[:-1]
-        jp = P
+    _rule(d, _SB_IGN[Q], 0)  # SB5
+    jarr = lb_at[:-1]
+    jp = props[np.maximum(jarr, 0)]
     s_i = text_start_of[1:]
     j_oob = jarr < s_i  # includes jarr < 0
     _rule(d, j_oob, 0)  # only ignorables precede in-text: attach
-    if any_ign:
-        _rule(d, _SB_PARA[jp], 1)  # de-ignored after ParaSep
+    _rule(d, _SB_PARA[jp], 1)  # de-ignored after ParaSep
     _rule(d, (jp == _W.S_ATERM) & (Q == _W.S_NUMERIC), 0)  # SB6
 
-    if any_ign:
-        j2 = np.where(jarr >= 1, lb_at[np.maximum(jarr - 1, 0)], -1)
-    else:
-        j2 = jarr - 1
+    j2 = np.where(jarr >= 1, lb_at[np.maximum(jarr - 1, 0)], -1)
     j2_ok = (j2 >= 0) & (j2 >= s_i)
     j2p = np.where(j2_ok, props[np.maximum(j2, 0)], _W.S_OTHER)
     _rule(d, (jp == _W.S_ATERM) & (Q == _W.S_UPPER)
@@ -506,20 +682,13 @@ def sentence_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
         return dec == 1
 
     # left pattern SATerm Close* Sp* (element-sequence walk, SB5-folded)
-    if not any_ign:
-        # identity: elements ARE positions — no flatnonzero/rank remap
-        el_cls = props
-        m = n
-        e_idx = idx
-        rj = np.maximum(jarr, 0)
-    else:
-        el_pos = np.flatnonzero(~ign)
-        m = len(el_pos)
-        el_cls = props[el_pos] if m else props[:0]
-        e_idx = np.arange(m)
-        if m:
-            ranks = np.cumsum(~ign) - 1
-            rj = np.clip(ranks[np.maximum(jarr, 0)], 0, m - 1)
+    el_pos = np.flatnonzero(~ign)
+    m = len(el_pos)
+    el_cls = props[el_pos] if m else props[:0]
+    e_idx = np.arange(m)
+    if m:
+        ranks = np.cumsum(~ign) - 1
+        rj = np.clip(ranks[np.maximum(jarr, 0)], 0, m - 1)
     if m:
         is_sp = el_cls == _W.S_SP
         is_cl = el_cls == _W.S_CLOSE
@@ -1035,8 +1204,10 @@ _SEP = 0x0A  # LF: hard barrier in all four annexes (module docstring)
 
 def _cp_array(text: str) -> np.ndarray:
     if not text:
-        return np.zeros(0, dtype=np.int64)
-    return np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+        return np.zeros(0, dtype=np.int32)
+    # codepoints fit int32 (max 0x10FFFF): view, don't widen — halves the
+    # batch's memory traffic and skips a full-array copy
+    return np.frombuffer(text.encode("utf-32-le"), dtype="<u4").view(np.int32)
 
 
 def _concat_batch(texts):
@@ -1047,7 +1218,7 @@ def _concat_batch(texts):
         z = np.zeros(0, dtype=np.int64)
         return z, z, z, z
     joined = "\n".join(texts) + "\n"
-    cps = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").view(np.int32)
     lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
     offs = np.concatenate([[0], np.cumsum(lens[:-1] + 1)])
     return cps, offs, lens, (offs, lens)
@@ -1064,9 +1235,12 @@ def _expand_tso(tso) -> np.ndarray:
 
 def _count_interior(bnd: np.ndarray, offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Per text: number of True interior boundaries + 1 (0 for empty) =
-    segment count."""
-    csum = np.concatenate([[0], np.cumsum(bnd)])
-    counts = csum[offs + lens] - csum[np.minimum(offs + 1, len(bnd))]
+    segment count.  Sparse: boundary positions + two binary searches per
+    text instead of a full-length int64 cumsum (8x the write traffic)."""
+    pos = np.flatnonzero(bnd)
+    counts = np.searchsorted(pos, offs + lens) - np.searchsorted(
+        pos, np.minimum(offs + 1, len(bnd))
+    )
     return np.where(lens > 0, counts + 1, 0).astype(np.int64)
 
 
@@ -1090,14 +1264,13 @@ def count_linebreaks_batch(texts):
     twin of uax14.linebreak_opportunities."""
     cps, offs, lens, tso = _concat_batch(texts)
     brk, mand = linebreak_decisions(cps, tso)
-    cb = np.concatenate([[0], np.cumsum(brk)])
-    cm = np.concatenate([[0], np.cumsum(mand)])
+    pb, pm = np.flatnonzero(brk), np.flatnonzero(mand)
     hi = offs + lens
     lo = np.minimum(offs + 1, len(brk))
     nz = lens > 0  # an empty text has no interior positions at all
     return (
-        np.where(nz, cb[hi] - cb[lo], 0).astype(np.int64),
-        np.where(nz, cm[hi] - cm[lo], 0).astype(np.int64),
+        np.where(nz, np.searchsorted(pb, hi) - np.searchsorted(pb, lo), 0).astype(np.int64),
+        np.where(nz, np.searchsorted(pm, hi) - np.searchsorted(pm, lo), 0).astype(np.int64),
     )
 
 

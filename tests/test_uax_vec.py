@@ -140,6 +140,31 @@ def test_vectorized_equals_scalar(case):
         assert sum(1 for _, m in so if m) == n_mand[i], ("LB mand", ascii(t))
 
 
+def test_fused_fast_path_ignorable_free():
+    """The fused (P,Q)-table fast paths (word + sentence) trigger only
+    when the WHOLE concatenated batch is ignorable-free; the mixed POOL
+    almost always disables them.  This pool has no Extend/Format/ZWJ/
+    WSegSpace-adjacent ignorables and is biased to the SB context
+    classes (ATerm, STerm, Close, Sp, Upper/Lower, SContinue, Numeric)
+    so _SBX_ACT's SB7/WALK/SCAN codes and the WB ctx codes all fire."""
+    pool = [ord(c) for c in "aAzZ019 .!?)('\"-,:\t\r\n"] + [
+        0x3002, 0x2024, 0xFF0E, 0x2019, 0x201D, 0x00BB, 0x2E2E, 0x1362,
+    ]
+    rng = random.Random(42)
+    texts = [
+        "".join(chr(rng.choice(pool)) for _ in range(rng.randrange(0, 90)))
+        for _ in range(300)
+    ]
+    # verify the premise: the batch really is ignorable-free
+    cps, _, _, _ = V._concat_batch(texts)
+    assert not V._SB_IGN[V.sb_props(cps)].any()
+    sb = V.sentence_segments_batch(texts)
+    wb = V.word_segments_batch(texts)
+    for i, t in enumerate(texts):
+        assert sb[i] == sentence_segments(t), ("SB-fast", ascii(t))
+        assert wb[i] == wordbreak_segments(t), ("WB-fast", ascii(t))
+
+
 def test_batch_equals_single():
     """Joining texts with the LF barrier never changes an interior
     decision: batch-of-many == one-at-a-time."""
