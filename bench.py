@@ -155,6 +155,43 @@ def replicated_documents(spark, sf_dir: str, k: int):
     return out, k
 
 
+def _tree_cpu_sec() -> float | None:
+    """Total CPU seconds consumed by this process's /proc subtree (self,
+    the Spark JVM, pyspark daemons/workers — live members via
+    utime+stime, already-reaped ones via their reaper's cutime+cstime;
+    the two sets are disjoint so there is no double count).  Called by
+    the probe just before spark.stop(), when the whole tree is still
+    alive: RUSAGE_CHILDREN alone misses the JVM because py4j never
+    wait()s it before interpreter exit."""
+    try:
+        me = os.getpid()
+        ppid, cost = {}, {}
+        hz = os.sysconf("SC_CLK_TCK") or 100
+        for pe in os.listdir("/proc"):
+            if not pe.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pe}/stat") as fh:
+                    rp = fh.read().rsplit(")", 1)[1].split()
+            except (OSError, IndexError):
+                continue
+            ppid[int(pe)] = int(rp[1])
+            cost[int(pe)] = (
+                int(rp[11]) + int(rp[12]) + int(rp[13]) + int(rp[14])
+            )
+        tree = {me}
+        grew = True
+        while grew:
+            grew = False
+            for pid, par in ppid.items():
+                if par in tree and pid not in tree:
+                    tree.add(pid)
+                    grew = True
+        return round(sum(cost.get(p, 0) for p in tree) / hz, 2)
+    except OSError:
+        return None
+
+
 def _run_pipeline_probe(cores: int, sf_dir: str, scale_k: int) -> dict:
     from sz_spark.pipeline import PipelineConfig, run_pipeline
     from sz_spark.session import build_session
@@ -177,6 +214,7 @@ def _run_pipeline_probe(cores: int, sf_dir: str, scale_k: int) -> dict:
     stages = run_pipeline(spark, transcripts, PipelineConfig())
     n_clusters = stages["clusters"].select("cluster_id").distinct().count()
     wall = time.time() - t0
+    tree_cpu = _tree_cpu_sec()  # JVM + workers still alive here
     spark.stop()
     return {
         "cores": cores,
@@ -185,6 +223,7 @@ def _run_pipeline_probe(cores: int, sf_dir: str, scale_k: int) -> dict:
         "n_clusters": n_clusters,
         "wall_sec": round(wall, 2),
         "turns_per_sec": round(n_turns / wall, 1),
+        "tree_cpu_sec": tree_cpu,
     }
 
 
@@ -206,6 +245,60 @@ def _parse_probe(stdout: str) -> dict:
     raise RuntimeError(f"probe produced no JSON: {stdout[-500:]}")
 
 
+def _box_sample() -> dict | None:
+    """Snapshot of whole-box CPU accounting (/proc/stat) plus this
+    process tree's reaped-children CPU — the raw material for telling
+    'our job is slow' apart from 'someone else is on the box'."""
+    try:
+        import resource
+
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        # user nice system idle iowait irq softirq steal guest guest_nice
+        # guest-busy excludes idle/iowait AND steal (withheld, not run;
+        # guest time is already folded into user by the kernel)
+        busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
+        ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+        return {
+            "t": time.time(),
+            "busy_jiffies": busy,
+            "steal_jiffies": vals[7] if len(vals) > 7 else 0,
+            "self_cpu_sec": ru.ru_utime + ru.ru_stime,
+        }
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _box_load(
+    before: dict | None, after: dict | None, self_cpu_sec: float | None = None
+) -> dict | None:
+    """Average core occupancy over the bracketed interval, split into
+    OUR subprocess tree vs everything else.  `external_busy_cores` is
+    non-self guest-visible load; `steal_cores` is CPU the hypervisor
+    withheld from this guest entirely (pure external contention — no
+    plan or code change can affect it).  Probes are wrapped by
+    subprocess.run, so by sample time the whole probe tree (JVM
+    included) has been reaped into RUSAGE_CHILDREN."""
+    if not before or not after:
+        return None
+    wall = after["t"] - before["t"]
+    if wall <= 0:
+        return None
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    busy = (after["busy_jiffies"] - before["busy_jiffies"]) / hz / wall
+    steal = (after["steal_jiffies"] - before["steal_jiffies"]) / hz / wall
+    if self_cpu_sec is None:
+        self_cpu_sec = after["self_cpu_sec"] - before["self_cpu_sec"]
+    self_c = self_cpu_sec / wall
+    return {
+        "busy_cores": round(busy, 2),
+        "self_cores": round(self_c, 2),
+        "external_busy_cores": round(max(busy - self_c, 0.0), 2),
+        "steal_cores": round(steal, 2),
+    }
+
+
 def run_pipeline_at(cores: int, sf_dir: str, scale_k: int) -> dict:
     """Run one scaling probe in a FRESH subprocess (own JVM).
 
@@ -217,10 +310,15 @@ def run_pipeline_at(cores: int, sf_dir: str, scale_k: int) -> dict:
     JVM-warmup independent."""
     import subprocess
 
+    b0 = _box_sample()
     out = subprocess.run(
         _probe_cmd(cores, sf_dir, scale_k), capture_output=True, text=True, check=True
     )
-    return _parse_probe(out.stdout)
+    r = _parse_probe(out.stdout)
+    load = _box_load(b0, _box_sample(), self_cpu_sec=r.get("tree_cpu_sec"))
+    if load is not None:
+        r["box_load"] = load
+    return r
 
 
 def run_weak_scaling(low: int, high: int, sf_dir: str, scale_k: int) -> list:
@@ -242,6 +340,7 @@ def run_weak_scaling(low: int, high: int, sf_dir: str, scale_k: int) -> list:
     # cap each copy's driver JVM: n concurrent 32g heaps on a 125g box
     # would page; the probe job itself needs far less
     env = dict(os.environ, SZ_SPARK_DRIVER_MEM="8g")
+    b0 = _box_sample()
     procs = [
         subprocess.Popen(
             _probe_cmd(low, sf_dir, scale_k),
@@ -253,10 +352,13 @@ def run_weak_scaling(low: int, high: int, sf_dir: str, scale_k: int) -> list:
         for _ in range(n)
     ]
     walls = []
+    tree_cpu = 0.0
     for p in procs:
         out, _ = p.communicate()
-        walls.append(_parse_probe(out)["wall_sec"])
-    return walls
+        r = _parse_probe(out)
+        walls.append(r["wall_sec"])
+        tree_cpu += r.get("tree_cpu_sec") or 0.0
+    return walls, _box_load(b0, _box_sample(), self_cpu_sec=tree_cpu or None)
 
 
 def main() -> None:
@@ -369,8 +471,9 @@ def main() -> None:
         ]
         # weak-scaling: HIGH//LOW concurrent independent copies of the
         # low-core job (the single-box analog of separate executors)
-        weak_walls = run_weak_scaling(LOW, HIGH, SF_DIR, SCALE_K)
-        log(f"[bench] weak-scaling {HIGH // LOW}x local[{LOW}] walls: {weak_walls}")
+        weak_walls, weak_load = run_weak_scaling(LOW, HIGH, SF_DIR, SCALE_K)
+        log(f"[bench] weak-scaling {HIGH // LOW}x local[{LOW}] walls: {weak_walls}"
+            f" box_load: {weak_load}")
         weak_eff = round(low["wall_sec"] / (sum(weak_walls) / len(weak_walls)), 3)
         speedup = high["turns_per_sec"] / low["turns_per_sec"]
         eff = speedup / (HIGH / LOW)
@@ -408,6 +511,17 @@ def main() -> None:
             # run_weak_scaling docstring)
             "weak_scaling_walls": weak_walls,
             "weak_scaling_efficiency": weak_eff,
+            # direct external-contention evidence, bracketing each probe:
+            # external_busy_cores = box busy cores NOT in our subprocess
+            # tree; steal_cores = CPU the hypervisor withheld from this
+            # guest.  An 8-core probe reading several external cores (or
+            # any steal) is the box being shared, not the plan failing.
+            "box_load_per_probe": [
+                {"cores": c, **r["box_load"]}
+                for c, r in probes
+                if r.get("box_load")
+            ],
+            "box_load_weak_scaling": weak_load,
             # where the job's raw efficiency sits between the same-run
             # ALU ceiling (~1.0 here) and the DRAM-bandwidth ceiling
             # (~0.45 here): 1.0 means the job scales as well as pure
