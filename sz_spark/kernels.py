@@ -906,9 +906,43 @@ def levenshtein_batch_bounded_flat(
     Arrow-native pair scoring (udfs / scoring.score_pairs)."""
     oa = np.asarray(oa, dtype=np.int64)
     ob = np.asarray(ob, dtype=np.int64)
-    return bounded_lev_flat(
+    return bounded_lev_ladder(
         da, oa[:-1], np.diff(oa), db, ob[:-1], np.diff(ob), bound
     )
+
+
+def bounded_lev_ladder(
+    da: np.ndarray,
+    sa: np.ndarray,
+    a_len: np.ndarray,
+    db: np.ndarray,
+    sb: np.ndarray,
+    lens_b: np.ndarray,
+    bound: int,
+    first_rung: int = 16,
+) -> np.ndarray:
+    """Iterative-deepening wrapper over :func:`bounded_lev_flat`:
+    score the batch with a narrow band first, escalate ONLY the pairs
+    the small band clamps (classic exponential band search, cf. Myers'
+    O(nd) refinement; similarities/serial.hpp:2948-2994 tiers by input
+    size the same way).
+
+    Output-identical to one full-bound pass: the banded DP is exact
+    whenever dist <= band, so rung successes (dist <= first_rung) equal
+    the full-band value, and rung failures re-run at the SAME ``bound``
+    as the single-pass path (same exact value or same bound+1 clamp).
+    Measured on the ER corpus (τ=0.94, ~666-byte docs): every
+    histogram-prune survivor has dist <= 14 vs a τ-band of ~41, so
+    ~100% of pairs finish in the W=33 band — ~2.5x less DP work."""
+    if bound <= first_rung:
+        return bounded_lev_flat(da, sa, a_len, db, sb, lens_b, bound)
+    out = bounded_lev_flat(da, sa, a_len, db, sb, lens_b, first_rung)
+    fail = np.nonzero(out > first_rung)[0]
+    if len(fail):
+        out[fail] = bounded_lev_flat(
+            da, sa[fail], a_len[fail], db, sb[fail], lens_b[fail], bound
+        )
+    return out
 
 
 def bounded_lev_flat(

@@ -306,7 +306,7 @@ def make_bounded_lev_arrow_fn(threshold: float, chunk: int = 1024):
                     idx = order[s : s + chunk]
                     m = int(maxlen[idx].max())
                     bound = int((1.0 - threshold) * m) + 1
-                    out[idx] = K.bounded_lev_flat(
+                    out[idx] = K.bounded_lev_ladder(
                         da, sa[idx], la[idx], db, sb[idx], lb[idx], bound
                     )
             yield pa.RecordBatch.from_arrays(

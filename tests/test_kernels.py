@@ -235,6 +235,33 @@ def test_levenshtein_bounded_exact_below_bound():
         assert (got == exp).all(), f"bound={bound}"
 
 
+def test_levenshtein_ladder_identical_to_single_pass():
+    """The iterative-deepening ladder must be output-identical to one
+    full-band pass for every distance regime: below the first rung,
+    straddling it, and above the final bound (clamp value included)."""
+    rng = random.Random(77)
+    a, b = [], []
+    for ln, edits in ((40, 3), (80, 20), (120, 50), (200, 120)):
+        for _ in range(40):
+            base = rand_bytes(rng, ln)
+            mut = bytearray(base)
+            for _ in range(edits):
+                p = rng.randrange(max(len(mut), 1))
+                mut[p:p + 1] = rand_bytes(rng, rng.choice((0, 1, 2)))
+            a.append(base)
+            b.append(bytes(mut))
+    from sz_spark.kernels import bounded_lev_flat, bounded_lev_ladder, flat_from_bytes
+
+    da, oa = flat_from_bytes(a)
+    db, ob = flat_from_bytes(b)
+    sa, la = oa[:-1], np.diff(oa)
+    sb, lb = ob[:-1], np.diff(ob)
+    for bound in (5, 16, 17, 41, 100):
+        one = bounded_lev_flat(da, sa, la, db, sb, lb, bound)
+        lad = bounded_lev_ladder(da, sa, la, db, sb, lb, bound)
+        assert (one == lad).all(), f"bound={bound}"
+
+
 def test_levenshtein_bounded_edges():
     assert list(K.levenshtein_batch_bounded([b"", b"abc", b"abc"], [b"", b"", b"abc"], 5)) == [0, 3, 0]
     # infeasible length gap clamps immediately
