@@ -516,8 +516,13 @@ def main() -> None:
             # tree; steal_cores = CPU the hypervisor withheld from this
             # guest.  An 8-core probe reading several external cores (or
             # any steal) is the box being shared, not the plan failing.
+            # tree_cpu_sec is the probe's own CPU-seconds for a FIXED
+            # work unit: its inflation vs the cross-run minimum exposes
+            # DRAM starvation by neighbor VMs, which steal_cores cannot
+            # see (stalled cycles still accrue as guest-busy time).
             "box_load_per_probe": [
-                {"cores": c, **r["box_load"]}
+                {"cores": c, "wall_sec": r["wall_sec"],
+                 "tree_cpu_sec": r.get("tree_cpu_sec"), **r["box_load"]}
                 for c, r in probes
                 if r.get("box_load")
             ],
