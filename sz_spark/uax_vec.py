@@ -825,7 +825,7 @@ def grapheme_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
 _LCSP = 3  # ACTION marker: B == SP, resolved by the space mini-cascade
 
 
-def _build_lb_pair_tables():
+def _build_lb_pair_tables(ascii_mode: bool = False):
     """Bake the newest-TR14 LB4-LB31 cluster chain (the scalar order of
     uax14._break_allowed / reference serial.h:244-510) into three
     (B, A) = (classes[k-1], classes[k]) tables:
@@ -836,7 +836,22 @@ def _build_lb_pair_tables():
       LB28a/LB30a) reachable before the pair's first terminal rule, in
       chain order;
     * DEFAULT: the first terminal outcome when every context fails.
-    """
+
+    ``ascii_mode`` bakes the pure-ASCII batch variant (the analog of the
+    reference's ASCII short-circuits, utf8_linebreaks/serial.h): with
+    every codepoint < 0x80 there are no East_Asian F/W/H, no Pi/Pf
+    quotes, no HL/AK/AP/AS/VF/VI/RI/U+25CC and no unassigned-ExtPict —
+    so LB19/LB30 resolve to unconditional no-breaks, LB15a/LB15b/LB21a/
+    LB28a/LB30a/LB30b-Cn can never fire (their conditions are statically
+    false), and only LB20a (a class-of-c2 check) stays contextual.  The
+    import-time property sweep below (_LB_ASCII_OK) verifies those
+    staticness claims against the live UCD tables before the variant is
+    ever selected."""
+    # ctx bits whose runtime condition is constant-TRUE under ASCII
+    # (LB19: aq|bq with no EAW anywhere; LB30: the bracket is not EA)
+    _A_TERM0 = {_LCB_19, _LCB_30R, _LCB_30L}
+    # ctx bits whose runtime condition is constant-FALSE under ASCII
+    _A_DROP = {_LCB_15A, _LCB_15B, _LCB_21A, _LCB_28A, _LCB_RI, _LCB_30CN}
     L = _L
     mand = (L.LB_BK, L.LB_CR, L.LB_LF, L.LB_NL)
     alhl = (L.LB_AL, L.LB_HL)
@@ -955,6 +970,11 @@ def _build_lb_pair_tables():
         for a in range(_NLB):
             bits = 0
             for kind, val in chain(b, a):
+                if kind == "C" and ascii_mode:
+                    if val in _A_DROP:
+                        continue  # condition statically false: fall through
+                    if val in _A_TERM0:
+                        kind, val = "T", 0  # condition statically true
                 if kind == "SP":
                     act[b, a] = _LCSP
                     break
@@ -973,6 +993,101 @@ def _build_lb_pair_tables():
 
 
 _LB_ACT, _LB_DFT, _LB_CTX = _build_lb_pair_tables()
+_LB_ACT_A, _LB_DFT_A, _LB_CTX_A = _build_lb_pair_tables(ascii_mode=True)
+
+
+def _flat64(tbl: np.ndarray) -> np.ndarray:
+    """Row-pad to 64 columns and ravel: the (B, A) gather becomes one
+    1-D take over a shift-or code — ~1.5x a 2-index fancy gather."""
+    p = np.zeros((tbl.shape[0], 64), dtype=tbl.dtype)
+    p[:, : tbl.shape[1]] = tbl
+    return p.ravel()
+
+
+_LB_ACT_F = _flat64(_LB_ACT)
+_LB_ACT_FA = _flat64(_LB_ACT_A)
+
+# ctx-rule bits for the SPACE mini-cascade table (walker below)
+_SPB_15A, _SPB_15B, _SPB_153 = 1, 2, 4
+
+
+def _build_lb_sp_tables(ascii_mode: bool = False):
+    """Bake the B == SP left-walk mini-cascade (LB8/LB11/LB13-LB18, the
+    sp_rule chain formerly interpreted per space boundary) into
+    (NSC+1, A) tables keyed by the nearest non-SP class to the left
+    (row 0 = sot) and the class after the space.  Plain text resolves
+    almost every space boundary terminally (LB18 break) in ONE gather;
+    only quote-/IS-adjacent spaces take the sparse ctx path.
+    ``ascii_mode``: no Pi/Pf exists, so LB15a/LB15b drop (statically
+    false); LB15.3 (ahead == NU) stays contextual."""
+    L = _L
+
+    def chain(nsc, a):
+        if nsc == L.LB_ZW:
+            yield "T", 1  # LB8 across spaces
+        if a == L.LB_WJ:
+            yield "T", 0  # LB11
+        if a in (L.LB_CL, L.LB_CP, L.LB_EX, L.LB_SY):
+            yield "T", 0  # LB13
+        if nsc == L.LB_OP:
+            yield "T", 0  # LB14
+        if nsc == L.LB_QU and not ascii_mode:
+            yield "C", _SPB_15A  # LB15a: Pi + allowed left of the run
+        if a == L.LB_QU and not ascii_mode:
+            yield "C", _SPB_15B  # LB15b: Pf + allowed right
+        if a == L.LB_IS:
+            yield "C", _SPB_153  # LB15.3: SP x IS NU breaks
+            yield "T", 0  # LB15.4
+        if nsc in (L.LB_CL, L.LB_CP) and a == L.LB_NS:
+            yield "T", 0  # LB16
+        if nsc == L.LB_B2 and a == L.LB_B2:
+            yield "T", 0  # LB17
+        yield "T", 1  # LB18
+
+    act = np.full((_NLB + 1, _NLB), 1, dtype=np.int8)
+    dft = np.full((_NLB + 1, _NLB), 1, dtype=np.int8)
+    ctx = np.zeros((_NLB + 1, _NLB), dtype=np.int8)
+    for nsc in range(-1, _NLB):
+        for a in range(_NLB):
+            bits = 0
+            for kind, val in chain(nsc, a):
+                if kind == "C":
+                    bits |= val
+                    continue
+                if bits:
+                    act[nsc + 1, a] = 2
+                    ctx[nsc + 1, a] = bits
+                    dft[nsc + 1, a] = val
+                else:
+                    act[nsc + 1, a] = dft[nsc + 1, a] = val
+                break
+    return act, dft, ctx
+
+
+_LBSP_ACT, _LBSP_DFT, _LBSP_CTX = _build_lb_sp_tables()
+_LBSP_ACT_A, _LBSP_DFT_A, _LBSP_CTX_A = _build_lb_sp_tables(ascii_mode=True)
+
+
+def _ascii_lb_ok() -> bool:
+    """Verify, against the live UCD tables, every staticness claim the
+    ASCII-baked variants rely on for codepoints 0..0x7F: no EAW F/W/H,
+    no Pi/Pf, no unassigned-ExtPict, and none of the classes whose
+    conditions the bake treats as impossible (HL for LB21a, AK/AP/AS/
+    VF/VI for LB28a, RI for LB30a; U+25CC is trivially >= 0x80)."""
+    cps = np.arange(0x80)
+    cls = set(lb_classes(cps).tolist())
+    banned = {_L.LB_HL, _L.LB_AK, _L.LB_AP, _L.LB_AS, _L.LB_VF, _L.LB_VI,
+              _L.LB_RI}
+    return (
+        not (cls & banned)
+        and not eaw_flags(cps).any()
+        and not epcn_flags(cps).any()
+        and not qside_props(cps).any()
+        and _L.DOTTED_CIRCLE >= 0x80
+    )
+
+
+_LB_ASCII_OK = _ascii_lb_ok()
 
 
 def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None):
@@ -985,13 +1100,26 @@ def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None
     if n == 0:
         return np.zeros(0, dtype=bool), np.zeros(0, dtype=bool)
     C = lb_classes(cps)
-    idx = np.arange(n)
+
+    # Pure-ASCII batch: swap in the baked tables where LB19/LB30 are
+    # unconditional and LB15a/b/21a/28a/30a/30b-Cn are statically dead
+    # (verified by the import-time _LB_ASCII_OK sweep)
+    is_ascii = _LB_ASCII_OK and int(cps.max()) < 0x80
+    if is_ascii:
+        ACTF, DFT, CTX = _LB_ACT_FA, _LB_DFT_A, _LB_CTX_A
+        SPACT, SPDFT, SPCTX = _LBSP_ACT_A, _LBSP_DFT_A, _LBSP_CTX_A
+    else:
+        ACTF, DFT, CTX = _LB_ACT_F, _LB_DFT, _LB_CTX
+        SPACT, SPDFT, SPCTX = _LBSP_ACT, _LBSP_DFT, _LBSP_CTX
 
     # LB9/LB10 collapse: cluster starts.  Attach-free fast path (ASCII /
     # most Latin corpora carry no CM/ZWJ): clusters are the codepoints
     # themselves — the fold, the flatnonzero and the re-gathers vanish.
-    attach = _LB_ATTACH[C]
-    if attach.any():
+    # Two int8 compares beat a LUT gather for the attach mask.
+    attach = (C == _L.LB_CM) | (C == _L.LB_ZWJ)
+    has_attach = bool(attach.any())
+    if has_attach:
+        idx = np.arange(n)
         lastb = _last_le(~attach, idx)
         cond = attach & (lastb == idx - 1) & (lastb >= 0) & _LB_NONABS[C[np.maximum(lastb, 0)]]
         cs = (~attach) | cond
@@ -1002,16 +1130,15 @@ def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None
         base_cps = cps[starts]  # cluster base codepoints (Pi/Pf, U+25CC)
         lb8a_left = C[starts[1:] - 1] == _L.LB_ZWJ if len(starts) > 1 else None
     else:
-        starts = idx
+        starts = None  # cluster k IS codepoint k; positions come free
         ccls = C  # int8 is a valid (non-negative) LUT index; no copy
         base_cps = cps
         lb8a_left = None  # ZWJ is an attach class — none present
-    K = len(starts)
+    K = len(ccls)
 
-    dcl = np.full(K, -1, dtype=np.int8)
-    dcl[0] = 0  # no opportunity before the first cluster (sot)
+    brk = np.zeros(n, dtype=bool)
+    mand = np.zeros(n, dtype=bool)
     if K > 1:
-        d = dcl[1:]
         B, A = ccls[:-1], ccls[1:]
         # LB8a pre-mask: if cluster k-1's last RAW cp is ZWJ, every rule
         # with priority <= LB8 that could also fire (LB6/LB7) is itself
@@ -1019,17 +1146,28 @@ def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None
         # single-cp clusters that cannot end in ZWJ — so the mask
         # commutes with the chain prefix and may be applied first.
         if lb8a_left is not None:
+            d = np.full(K - 1, -1, dtype=np.int8)
             _rule(d, lb8a_left, 0)  # LB8a
+            undec = d == -1
+            acts = np.where(
+                undec,
+                ACTF[np.left_shift(B, 6, dtype=np.int16) | A],
+                np.int8(-3),
+            )
+            # terminals AND the _LCSP/ctx markers land in d; the sparse
+            # cascades below overwrite every marker position
+            np.copyto(d, acts, where=undec)
+        else:
+            acts = ACTF[np.left_shift(B, 6, dtype=np.int16) | A]
+            d = acts.copy()
 
-        undec = d == -1
-        acts = np.where(undec, _LB_ACT[B, A], -3)
-        d[acts == 0] = 0
-        d[acts == 1] = 1
+        _ki = None
 
-        k_idx = idx if K == n else np.arange(K)
-        # qside is shared by the SP-walk and the ctx cascade; one LUT
-        # gather, built only if either needs it
-        qside = None
+        def k_idx():  # lazy: only double-space runs and LB30a need it
+            nonlocal _ki
+            if _ki is None:
+                _ki = np.arange(K)
+            return _ki
 
         def _c2_at(sub):  # class two clusters left of boundary sub
             return np.where(sub >= 1, ccls[np.maximum(sub - 1, 0)], -1)
@@ -1039,63 +1177,76 @@ def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None
 
         m_sp = acts == _LCSP  # B == SP: the left-walk mini-cascade
         if m_sp.any():
-            # SPARSE: every op below runs on the SP boundaries only
+            # SPARSE: one (nsc, A) table gather decides nearly every
+            # space boundary terminally (plain text: LB18 break); only
+            # quote-/IS-adjacent spaces walk the ctx bits below
             subs = np.flatnonzero(m_sp)
-            qside = qside_props(base_cps)
             # single-space shortcut: when no SP cluster is preceded by
             # another SP (checked sparsely), the nearest non-SP to the
             # left is simply subs-1 — the full accumulate is skipped
             left_sp = (subs > 0) & (ccls[np.maximum(subs - 1, 0)] == _L.LB_SP)
             if left_sp.any():
-                lastnonsp = _last_le(ccls != _L.LB_SP, k_idx)
+                lastnonsp = _last_le(ccls != _L.LB_SP, k_idx())
                 jcl = lastnonsp[subs]
             else:
                 jcl = subs - 1
-            jc = np.maximum(jcl, 0)
-            nsc = np.where(jcl >= 0, ccls[jc], -1)
-            # class of the cluster just left of the nearest non-SP one
-            # (-1 at the batch head == the scalar engine's sot case)
-            nsc_left = np.where(jcl >= 1, ccls[np.maximum(jcl - 1, 0)], -1)
-            nsc_pi = (qside[jc] == 1) & (jcl >= 0)
+            nsc = np.where(jcl >= 0, ccls[np.maximum(jcl, 0)], np.int8(-1))
             A_s = A[subs]
-            ahead_s = _ahead_at(subs)
-            qA_s = qside[subs + 1]
-            sp = np.ones(len(subs), dtype=bool)
-
-            def sp_rule(mask, val):
-                mm = sp & mask
-                d[subs[mm]] = val
-                sp[mm] = False
-
-            sp_rule(nsc == _L.LB_ZW, 1)  # LB8 across spaces
-            sp_rule(A_s == _L.LB_WJ, 0)  # LB11
-            sp_rule(_LB13_SET[A_s], 0)  # LB13
-            sp_rule(nsc == _L.LB_OP, 0)  # LB14
-            # LB15a: (sot|allowed) [QU&Pi] SP* x
-            sp_rule((nsc == _L.LB_QU) & nsc_pi
-                    & ((nsc_left < 0) | _LB15A_LEFT[np.maximum(nsc_left, 0)]), 0)
-            # LB15b: x [QU&Pf] (allowed | eot)
-            sp_rule((A_s == _L.LB_QU) & (qA_s == 2)
-                    & ((ahead_s < 0) | _LB15B_RIGHT[np.maximum(ahead_s, 0)]), 0)
-            # LB15.3: SP x IS NU is a break opportunity
-            sp_rule((A_s == _L.LB_IS) & (ahead_s == _L.LB_NU), 1)
-            sp_rule(A_s == _L.LB_IS, 0)  # LB15.4
-            sp_rule(((nsc == _L.LB_CL) | (nsc == _L.LB_CP)) & (A_s == _L.LB_NS), 0)  # LB16
-            sp_rule((nsc == _L.LB_B2) & (A_s == _L.LB_B2), 0)  # LB17
-            d[subs[sp]] = 1  # LB18
+            sacts = SPACT[nsc + 1, A_s]
+            d[subs] = sacts  # ctx markers (2) overwritten just below
+            msc = sacts == 2
+            if msc.any():
+                s2 = subs[msc]
+                j2 = jcl[msc]
+                nsc2 = nsc[msc]
+                A2 = A_s[msc]
+                bits = SPCTX[nsc2 + 1, A2]
+                ahead2 = _ahead_at(s2)
+                pending = np.ones(len(s2), dtype=bool)
+                # LB15a: (sot|allowed) [QU&Pi] SP* x
+                b15a = (bits & _SPB_15A) != 0
+                if b15a.any():
+                    pi2 = (qside_props(base_cps[np.maximum(j2, 0)]) == 1) & (j2 >= 0)
+                    # class left of the nearest non-SP cluster (-1 at the
+                    # batch head == the scalar engine's sot case)
+                    nsc_left = np.where(j2 >= 1, ccls[np.maximum(j2 - 1, 0)], -1)
+                    ok = (pending & b15a & pi2
+                          & ((nsc_left < 0) | _LB15A_LEFT[np.maximum(nsc_left, 0)]))
+                    d[s2[ok]] = 0
+                    pending[ok] = False
+                # LB15b: x [QU&Pf] (allowed | eot)
+                b15b = (bits & _SPB_15B) != 0
+                if b15b.any():
+                    pf2 = qside_props(base_cps[s2 + 1]) == 2
+                    ok = (pending & b15b & pf2
+                          & ((ahead2 < 0) | _LB15B_RIGHT[np.maximum(ahead2, 0)]))
+                    d[s2[ok]] = 0
+                    pending[ok] = False
+                # LB15.3: SP x IS NU is a break opportunity
+                b153 = (bits & _SPB_153) != 0
+                if b153.any():
+                    ok = pending & b153 & (ahead2 == _L.LB_NU)
+                    d[s2[ok]] = 1
+                    pending[ok] = False
+                d[s2[pending]] = SPDFT[nsc2[pending] + 1, A2[pending]]
 
         m_ctx = acts == 2
         if m_ctx.any():
             # SPARSE: context positions only (quotes/hyphens/digits are a
             # small fraction of real text)
             subc = np.flatnonzero(m_ctx)
-            if qside is None:
-                qside = qside_props(base_cps)
             B_c, A_c = B[subc], A[subc]
             c2_c = _c2_at(subc)
             ahead_c = _ahead_at(subc)
-            qB_c, qA_c = qside[subc], qside[subc + 1]
-            bits = _LB_CTX[B_c, A_c]
+            bits = CTX[B_c, A_c]
+            # sparse gathers: ctx positions are a small fraction of K,
+            # and only the quote rules read quote-side at all (never in
+            # the ASCII bake, where those bits are dead)
+            if ((bits & (_LCB_15A | _LCB_15B | _LCB_19)) != 0).any():
+                qB_c = qside_props(base_cps[subc])
+                qA_c = qside_props(base_cps[subc + 1])
+            else:
+                qB_c = qA_c = np.zeros(len(subc), dtype=np.int8)
             pending = np.ones(len(subc), dtype=bool)
 
             def ctx_rule(bit, cond, val=0):
@@ -1173,7 +1324,7 @@ def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None
             # LB30a: RI pair parity
             ri_bit = pending & ((bits & _LCB_RI) != 0)
             if ri_bit.any():
-                ri_run = _run_ending_incl(ccls == _L.LB_RI, k_idx)
+                ri_run = _run_ending_incl(ccls == _L.LB_RI, k_idx())
                 ok = ri_bit & (ri_run[subc] % 2 == 1)
                 d[subc[ok]] = 0
                 pending[ok] = False
@@ -1183,17 +1334,20 @@ def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None
                 ok = cn_bit & epcn_flags(base_cps[subc])
                 d[subc[ok]] = 0
                 pending[ok] = False
-            d[subc[pending]] = _LB_DFT[B_c[pending], A_c[pending]]
-        d[d == -1] = 1  # unreachable: the table always decides
+            d[subc[pending]] = DFT[B_c[pending], A_c[pending]]
 
-    brk = np.zeros(n, dtype=bool)
-    mand = np.zeros(n, dtype=bool)
-    allowed = dcl == 1
-    brk[starts[allowed]] = True
-    if K > 1:
-        mand_cl = np.zeros(K, dtype=bool)
-        mand_cl[1:] = _LB_MAND[ccls[:-1]] | (ccls[:-1] == _L.LB_CR)
-        mand[starts[allowed & mand_cl]] = True
+        # assembly: boundary k (1-based cluster index) maps to position
+        # starts[k]; mandatory iff the LEFT cluster class is BK-family.
+        # Both gathers run on the allowed subset only (sparse).
+        allowed = d == 1
+        if has_attach:
+            pos = starts[1:][allowed]
+            left_cls = B[allowed]
+        else:
+            pos = np.flatnonzero(allowed) + 1
+            left_cls = ccls[pos - 1]  # sparse: skip the boolean compress
+        brk[pos] = True
+        mand[pos[_LB_MAND[left_cls]]] = True
     return brk, mand
 
 

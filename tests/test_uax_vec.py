@@ -165,6 +165,37 @@ def test_fused_fast_path_ignorable_free():
         assert wb[i] == wordbreak_segments(t), ("WB-fast", ascii(t))
 
 
+def test_lb_ascii_baked_tables():
+    """A pure-ASCII batch selects the ASCII-baked LB tables (LB19/LB30
+    constant-folded, LB15a/b/21a/28a/30a/30b-Cn dropped).  Verify (a)
+    position-exact agreement with the general tables on the same input,
+    and (b) count agreement with the scalar chain — over an ASCII fuzz
+    biased to the folded rules' trigger classes (quotes, brackets,
+    hyphens, digits, commas, IS, multiple spaces)."""
+    assert V._LB_ASCII_OK
+    pool = [ord(c) for c in "abcXYZ019 .,:;!?\"'()-/\t\r\n%$+  "]
+    rng = random.Random(20260817)
+    texts = [
+        "".join(chr(rng.choice(pool)) for _ in range(rng.randrange(0, 120)))
+        for _ in range(400)
+    ] + ['a "b" c', "don't (x-y) 1,024.5; e.g. 'q': z", "  lead", "trail  "]
+    cps, offs, lens, _ = V._concat_batch(texts)
+    assert int(cps.max()) < 0x80  # premise: the ASCII path is selected
+    brk_a, mand_a = V.linebreak_decisions(cps)
+    orig = V._LB_ASCII_OK
+    try:
+        V._LB_ASCII_OK = False  # force the general tables
+        brk_g, mand_g = V.linebreak_decisions(cps)
+    finally:
+        V._LB_ASCII_OK = orig
+    assert np.array_equal(brk_a, brk_g) and np.array_equal(mand_a, mand_g)
+    n_opp, n_mand = V.count_linebreaks_batch(texts)
+    for i, t in enumerate(texts):
+        so = linebreak_opportunities(t)
+        assert len(so) == n_opp[i], ("LB-ascii opps", ascii(t))
+        assert sum(1 for _, m in so if m) == n_mand[i], ("LB-ascii mand", ascii(t))
+
+
 def test_batch_equals_single():
     """Joining texts with the LF barrier never changes an interior
     decision: batch-of-many == one-at-a-time."""
