@@ -182,6 +182,16 @@ for _b, _a in _L._LB25_NO_BREAK_PAIRS:
 # --- cascade helper ---------------------------------------------------------
 
 
+def _flat_pow2(tbl: np.ndarray):
+    """Row-pad columns to the next power of two and ravel; returns
+    (flat, shift) so a (B, A) gather becomes one 1-D take over a
+    shift-or code — ~1.5x a 2-index fancy gather."""
+    shift = int(np.ceil(np.log2(tbl.shape[1])))
+    p = np.zeros((tbl.shape[0], 1 << shift), dtype=tbl.dtype)
+    p[:, : tbl.shape[1]] = tbl
+    return p.ravel(), shift
+
+
 def _rule(dec: np.ndarray, mask, value: int) -> None:
     """First-match-wins: set `value` where `mask` holds and no earlier
     rule decided."""
@@ -324,6 +334,7 @@ def _build_wbx_tables():
 
 
 _WBX_ACT, _WBX_DFT = _build_wbx_tables()
+_WBX_ACT_F, _WBX_SHIFT = _flat_pow2(_WBX_ACT)
 
 
 def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) -> np.ndarray:
@@ -337,14 +348,12 @@ def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) ->
     if n == 0:
         return np.zeros(0, dtype=bool)
     px = wbx_props(cps)  # extended classes: WSegSpace = _WBX_WSEG
-    ign = _WB_IGN[px]
+    # three int8 compares beat a LUT gather for the ignorable mask
+    ign = (px == _W.EXTEND) | (px == _W.FORMAT) | (px == _W.ZWJ)
     any_ign = bool(ign.any())
 
-    dec = np.full(n, -1, dtype=np.int8)
-    dec[0] = 1  # WB1
-    d = dec[1:]
-
     if any_ign:
+        d = np.full(n - 1, -1, dtype=np.int8)
         idx = np.arange(n)
         props = px.copy()
         props[px == _WBX_WSEG] = _W.OTHER
@@ -382,9 +391,9 @@ def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) ->
         props = px
         jarr = None
         jp, Q = px[:-1], px[1:]
-        acts = _WBX_ACT[jp, Q]
-        d[acts == 0] = 0
-        d[acts == 1] = 1
+        acts = _WBX_ACT_F[np.left_shift(jp, _WBX_SHIFT, dtype=np.int16) | Q]
+        # terminals land directly; every ctx code is overwritten below
+        d = acts.copy()
 
     ctx = acts >= 10
     if ctx.any():
@@ -443,8 +452,12 @@ def word_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) ->
             even = m_ & ((ri_run_incl[rj] - 1) % 2 == 0)
             d[sub[even]] = 0
             d[sub[m_ & ~even]] = 1
-    d[d == -1] = 1  # WB999
-    return dec == 1
+    if any_ign:
+        d[d == -1] = 1  # WB999 (fast path: baked into the table)
+    out = np.empty(n, dtype=bool)
+    out[0] = True  # WB1
+    out[1:] = d == 1
+    return out
 
 
 # --- SENTENCE boundaries (SB1-SB11) ----------------------------------------
@@ -511,6 +524,7 @@ def _build_sbx_table():
 
 
 _SBX_ACT = _build_sbx_table()
+_SBX_ACT_F, _SBX_SHIFT = _flat_pow2(_SBX_ACT)
 
 
 def _run_starts(mask: np.ndarray) -> np.ndarray:
@@ -559,7 +573,8 @@ def sentence_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
     if n == 0:
         return np.zeros(0, dtype=bool)
     props = sb_props(cps)
-    ign = _SB_IGN[props]
+    # two int8 compares beat a LUT gather for the ignorable mask
+    ign = (props == _W.S_EXTEND) | (props == _W.S_FORMAT)
     any_ign = bool(ign.any())
 
     if not any_ign:
@@ -569,13 +584,13 @@ def sentence_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
         # attach rule is a provable no-op here (jarr = i-1 < s_i only at
         # a text's first position, where P is the LF separator and SB4
         # already broke), so text_start_of is never materialized.
-        dec = np.full(n, -1, dtype=np.int8)
+        dec = np.empty(n, dtype=np.int8)
         dec[0] = 1  # SB1
         d = dec[1:]
         P, Q = props[:-1], props[1:]
-        acts = _SBX_ACT[P, Q]
-        d[acts == 0] = 0
-        d[acts == 1] = 1
+        acts = _SBX_ACT_F[np.left_shift(P, _SBX_SHIFT, dtype=np.int16) | Q]
+        # terminals land directly; every ctx code is overwritten below
+        np.copyto(d, acts)
         ctx = acts >= 10
         if ctx.any():
             sub = np.flatnonzero(ctx)
@@ -761,6 +776,7 @@ def _build_gb_pair_table() -> np.ndarray:
 
 
 _GB_PAIR = _build_gb_pair_table()
+_GB_PAIR_F, _GB_SHIFT = _flat_pow2(_GB_PAIR)
 
 
 def grapheme_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None) -> np.ndarray:
@@ -774,7 +790,8 @@ def grapheme_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
     props = gcb_props(cps)
     B, A = props[:-1], props[1:]
 
-    dec = _GB_PAIR[B, A].copy()  # 0/1/2(undecided)
+    # flat shift-or gather returns a fresh array: 0/1/2(undecided)
+    dec = _GB_PAIR_F[np.left_shift(B, _GB_SHIFT, dtype=np.int16) | A]
 
     undec = dec == 2
     if undec.any():
@@ -996,16 +1013,9 @@ _LB_ACT, _LB_DFT, _LB_CTX = _build_lb_pair_tables()
 _LB_ACT_A, _LB_DFT_A, _LB_CTX_A = _build_lb_pair_tables(ascii_mode=True)
 
 
-def _flat64(tbl: np.ndarray) -> np.ndarray:
-    """Row-pad to 64 columns and ravel: the (B, A) gather becomes one
-    1-D take over a shift-or code — ~1.5x a 2-index fancy gather."""
-    p = np.zeros((tbl.shape[0], 64), dtype=tbl.dtype)
-    p[:, : tbl.shape[1]] = tbl
-    return p.ravel()
-
-
-_LB_ACT_F = _flat64(_LB_ACT)
-_LB_ACT_FA = _flat64(_LB_ACT_A)
+_LB_ACT_F = _flat_pow2(_LB_ACT)[0]
+_LB_ACT_FA, _LB_SHIFT = _flat_pow2(_LB_ACT_A)
+assert _LB_SHIFT == 6
 
 # ctx-rule bits for the SPACE mini-cascade table (walker below)
 _SPB_15A, _SPB_15B, _SPB_153 = 1, 2, 4
