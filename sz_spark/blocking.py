@@ -250,6 +250,68 @@ def candidate_pairs(bands: DataFrame, id_col: str = "conv_id") -> DataFrame:
     )
 
 
+def block_pairs(
+    bands: DataFrame,
+    id_col: str = "conv_id",
+    max_block_size: int = 64,
+    salt_up_to: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Fused cap_blocks + candidate_pairs: the within-block pair set in
+    TWO shuffles instead of the salted self-join's four-plus.
+
+    Plan: one hash-partition on (band_id, band_hash) serves a window
+    count (the cap filter — blocks above the cap are dropped BEFORE any
+    list is collected, so a pathological stop-band can never OOM an
+    aggregation task), the suppressed-stats agg, and a collect_list —
+    Catalyst reuses the exchange for all three.  Lower-triangle pairs
+    are then emitted JVM-side from each block's id array (nested
+    ``transform``/``slice``, whole-stage codegen): per-block work is
+    bounded by cap^2 cheap struct emissions in one task, which replaces
+    the salting machinery — salting redistributed O(s^2) JOIN-reducer
+    work, but with in-array emission the bound is the cap itself.  The
+    global cross-band dedup is the second (unavoidable) shuffle.
+
+    Same output contract as cap_blocks + candidate_pairs: every
+    unordered in-block pair (id_a < id_b) from blocks of size <= the
+    drop threshold (salt_up_to when set, else max_block_size), plus the
+    suppressed-block stats frame (band_id, band_hash, block_size)."""
+    from pyspark.sql import Window
+
+    drop_above = salt_up_to if salt_up_to > max_block_size else max_block_size
+    w = Window.partitionBy("band_id", "band_hash")
+    sized = bands.withColumn("block_size", F.count(F.lit(1)).over(w))
+    suppressed = (
+        sized.filter(F.col("block_size") > drop_above)
+        .groupBy("band_id", "band_hash")
+        .agg(F.first("block_size").alias("block_size"))
+    )
+    blocks = (
+        sized.filter(
+            (F.col("block_size") <= drop_above) & (F.col("block_size") >= 2)
+        )
+        .groupBy("band_id", "band_hash")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
+    pairs = (
+        blocks.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs, suppressed
+
+
 # ---------------------------------------------------------------------------
 # SQL-expressible MinHash variant (oracle-checkable end to end)
 # ---------------------------------------------------------------------------

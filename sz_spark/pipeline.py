@@ -107,10 +107,11 @@ def run_pipeline(
         )
 
     bands = ckpt.stage("bands", _bands)
-    kept, suppressed = blocking.cap_blocks(
-        bands, cfg.max_block_size, salt_up_to=cfg.salt_up_to
+    pairs_df, suppressed = blocking.block_pairs(
+        bands, id_col="did", max_block_size=cfg.max_block_size,
+        salt_up_to=cfg.salt_up_to,
     )
-    pairs = ckpt.stage("pairs", lambda: blocking.candidate_pairs(kept, id_col="did"))
+    pairs = ckpt.stage("pairs", lambda: pairs_df)
 
     id_map = docs.select("did", "conv_id")
 

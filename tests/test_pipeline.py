@@ -92,6 +92,35 @@ def test_block_salting(spark):
     assert not pairs.id_a.str.startswith("huge").any()
 
 
+def test_block_pairs_fused_equals_salted_join(spark):
+    """The fused two-shuffle block_pairs (window cap + in-array pair
+    emission) produces EXACTLY the salted self-join's pair set and the
+    same suppressed stats, on the skew fixture (intact block, salted-
+    tier block, suppressed block) plus multi-band overlap for the
+    cross-band dedup."""
+    from sz_spark import blocking
+
+    rows = (
+        [("small%d" % i, 0, 111) for i in range(5)]
+        + [("hot%02d" % i, 0, 222) for i in range(40)]
+        + [("huge%d" % i, 0, 333) for i in range(200)]
+        # same ids colliding again in another band: dedup must collapse
+        + [("small%d" % i, 1, 444) for i in range(5)]
+        + [("hot%02d" % i, 1, 555) for i in range(3)]
+    )
+    bands = spark.createDataFrame(rows, "conv_id string, band_id int, band_hash long")
+    kept, sup_old = blocking.cap_blocks(bands, max_block_size=8, salt_up_to=64)
+    old = blocking.candidate_pairs(kept).toPandas()
+    new, sup_new = blocking.block_pairs(bands, max_block_size=8, salt_up_to=64)
+    new = new.toPandas()
+    key = lambda df: set(map(tuple, df[["id_a", "id_b"]].itertuples(index=False)))
+    assert key(new) == key(old) and len(new) == len(old)  # set AND no dups
+    assert (
+        sup_new.orderBy("band_hash").toPandas().to_dict("records")
+        == sup_old.orderBy("band_hash").toPandas().to_dict("records")
+    )
+
+
 def test_resume_identical(spark, tmp_path):
     from sz_spark.pipeline import PipelineConfig, run_pipeline
     from sz_spark.transcripts import build_transcripts
