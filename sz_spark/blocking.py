@@ -292,24 +292,43 @@ def block_pairs(
         .groupBy("band_id", "band_hash")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
     )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
-            ),
-        )
-    )
-    pairs = (
-        blocks.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = explode_lower_triangle(blocks, "ids").dropDuplicates(
+        ["id_a", "id_b"]
     )
     return pairs, suppressed
+
+
+def explode_lower_triangle(
+    blocks: DataFrame, ids_col: str = "ids", out: tuple = ("id_a", "id_b")
+) -> DataFrame:
+    """All unordered element pairs (out[0] < out[1]) from each block's
+    array — the in-array replacement for a block self-join.
+
+    Two CHAINED explodes, not one flattened pair array: peak per-row
+    memory stays O(block size) (each generated row carries one element
+    plus the slice of later elements), never O(size^2) — a single
+    8 MB+ flattened value per near-cap block would churn the generate
+    operator's allocator at scale.  Elements may be any orderable type
+    incl. structs (ordering is field-lexicographic, so lead with the
+    id)."""
+    ids = F.col(ids_col)
+    halves = blocks.select(
+        F.explode(
+            F.transform(
+                ids,
+                lambda x, i: F.struct(
+                    x.alias("lhs"),
+                    F.slice(ids, i + F.lit(2), F.size(ids)).alias("rest"),
+                ),
+            )
+        ).alias("h")
+    )
+    return halves.select(
+        F.col("h.lhs").alias("_lhs"), F.explode("h.rest").alias("_rhs")
+    ).select(
+        F.least("_lhs", F.col("_rhs")).alias(out[0]),
+        F.greatest("_lhs", F.col("_rhs")).alias(out[1]),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sz_spark import blocking
 from sz_spark.textops import word_shingles
 
 
@@ -44,55 +45,46 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Word n-gram Jaccard similarity join.
 
-    Distinct shingles explode to (shingle, doc) rows; the self-join on
-    shingle yields intersection counts; sizes come from one aggregate.
+    Distinct shingles explode to (shingle, doc) rows; intersection
+    counts come from in-block pair emission, sizes from one aggregate.
     ``max_shingle_freq`` drops stop-shingles (a shingle in f docs
-    generates f^2 join rows — the frequency cap is the shuffle-skew
-    guard at corpus scale).
+    generates f^2 pair rows — the frequency cap is the skew guard at
+    corpus scale).
 
-    ``materialize`` (default True) makes this call EAGER: the shingle
-    table is persisted DISK_ONLY for its three consumers, the pair
-    output is materialized via ``localCheckpoint(eager=True)``, and the
-    shingle persist is released before returning.  The returned frame
-    is backed by executor-local checkpoint blocks — it is NOT
-    lineage-replayable, so on a multi-node cluster an executor loss
-    after this call loses the frame (ADVICE r4).  Pass
-    ``materialize=False`` for a fully lazy, replayable plan: no persist
-    and no checkpoint, at the cost of re-exploding the corpus once per
-    consumer (~3x one-shot wall measured at sf0.1) — the right trade
-    when the result feeds a long-lived multi-stage job on a real
-    cluster, where a reliable ``DataFrame.checkpoint`` into a
-    configured checkpoint dir is the durable alternative.
+    Fused plan (two shuffles on the big table, no persist): one window
+    count partitioned by shingle applies the frequency cap BEFORE any
+    aggregation state builds (a stop-shingle can never OOM a task), a
+    collect_list on the SAME partitioning (exchange reused) turns each
+    surviving shingle into its doc-id block, and the lower triangle is
+    emitted in-array (blocking.explode_lower_triangle) — no self-join.
+    Per-doc sizes re-aggregate the same capped exchange by doc_id.
+    Everything is lazy and lineage-replayable; the former DISK_ONLY
+    persist + eager localCheckpoint (and its non-replayable-frame
+    contract, ADVICE r4) are gone because no subtree is consumed twice
+    without an exchange to reuse.  ``materialize`` is retained for API
+    compatibility and ignored.
     """
-    from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(word_shingles(text_col, n))).alias("sh")
     )
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
-    # The filtered shingle table feeds THREE consumers (sizes + both join
-    # sides); without an explicit persist Spark re-explodes and re-joins
-    # the corpus per consumer (measured 3x the wall at sf0.1 — the
-    # alias/filter differences defeat ReuseExchange).  DISK_ONLY, not
-    # MEMORY: the table is O(total tokens) — ~n x corpus bytes — which at
-    # 100 TB input is a multi-hundred-TB dataset that must spill to
-    # executor-local disk (or be checkpointed to storage and re-read),
-    # never pinned in storage memory.  Spill budget: ~n x input bytes /
-    # executor count of local disk; at BENCH_SCALE_K=16 / sf0.1 the
-    # persisted table is ~60 MB — trivially disk-resident.
-    sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "sh").drop("f")
-    if materialize:
-        sh = sh.persist(StorageLevel.DISK_ONLY)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    w = Window.partitionBy("sh")
+    capped = sh.withColumn("f", F.count(F.lit(1)).over(w)).filter(
+        F.col("f") <= max_shingle_freq
+    )
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    blocks = (
+        capped.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     inter = (
-        a.join(b, "sh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        blocking.explode_lower_triangle(blocks, "ids")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
+    return (
         inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
@@ -104,16 +96,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # own the persist lifecycle: materialize the (tiny) pair output NOW,
-    # then release the O(total tokens) shingle table — without this the
-    # DISK_ONLY blocks live for the rest of the session and every later
-    # query in a shared bench/driver session pays for them (ADVICE r3).
-    # The returned frame is the checkpointed result, free to compose
-    # (but not replayable — see the docstring's materialize contract).
-    if materialize:
-        out = out.localCheckpoint(eager=True)
-        sh.unpersist()
-    return out
 
 
 def ngram_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
@@ -266,23 +248,34 @@ def simhash_near_pairs(
             )
         ).alias("s"),
     ).select("doc_id", "simhash", F.col("s.t").alias("t"), F.col("s.key").alias("key"))
+    # Fused two-shuffle plan (same shape as blocking.block_pairs): the
+    # cap runs as a window count BEFORE any list is collected (the same
+    # exchange then feeds the collect_list), and the within-bucket lower
+    # triangle is emitted in-array instead of a self-join.  least/
+    # greatest on the (doc_id, simhash) struct orders by doc_id first
+    # (field-lexicographic), so pair orientation matches the join's
+    # a.doc_id < b.doc_id.
     if max_bucket_size > 0:
-        bucket_sizes = tables.groupBy("t", "key").agg(
-            F.count(F.lit(1)).alias("_bs")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("t", "key")
+        tables = (
+            tables.withColumn("_bs", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
         )
-        tables = tables.join(
-            bucket_sizes.filter(F.col("_bs") <= max_bucket_size), ["t", "key"]
-        ).drop("_bs")
-    a = tables.alias("a")
-    b = tables.alias("b")
+    blocks = (
+        tables.groupBy("t", "key")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     cand = (
-        a.join(b, ["t", "key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        blocking.explode_lower_triangle(blocks, "ids", out=("pa", "pb"))
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("pa.doc_id").alias("id_a"),
+            F.col("pb.doc_id").alias("id_b"),
+            F.col("pa.simhash").alias("sig_a"),
+            F.col("pb.simhash").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )

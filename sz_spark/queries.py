@@ -977,14 +977,12 @@ def er_minhash_bands(spark, sf):
 
 
 def _md5_band_pairs(docs: DataFrame) -> DataFrame:
-    # The band table feeds BOTH self-join sides.  .cache() is the wrong
-    # tool (r4 A/B: ~1s warm gain vs a 2x cold InMemoryRelation penalty,
-    # and a never-unpersisted cache leaks storage into every later query
-    # of a shared session — the r3 driver bench's 70s er_pair_scores_lev
-    # suspect).  localCheckpoint instead: ONE materialization, both join
-    # sides read the checkpointed blocks, and the blocks die with the
-    # result DataFrame via ContextCleaner — storage-residue-free by
-    # construction (test_cache_lifecycle).
+    # In-array pair emission (blocking.lower_triangle_pairs): ONE
+    # groupBy shuffle collects each band block's ids and the lower
+    # triangle is emitted JVM-side — no self-join, and therefore no
+    # shared band table needing a localCheckpoint (the r4 design; its
+    # cache-vs-checkpoint rationale lives in blocking.block_pairs).
+    # Identical pair set to the oracle's SQL self-join.
     bands = blocking.shingle_minhash_bands(docs)
     long = bands.select(
         "conv_id",
@@ -997,13 +995,13 @@ def _md5_band_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("b"),
     ).select("conv_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh"))
-    long = long.localCheckpoint(eager=True)
-    a, b = long.alias("a"), long.alias("b")
-    return (
-        a.join(b, ["band_id", "bh"])
-        .filter(F.col("a.conv_id") < F.col("b.conv_id"))
-        .select(F.col("a.conv_id").alias("id_a"), F.col("b.conv_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    blocks = (
+        long.groupBy("band_id", "bh")
+        .agg(F.collect_list("conv_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    return blocking.explode_lower_triangle(blocks, "ids").dropDuplicates(
+        ["id_a", "id_b"]
     )
 
 
