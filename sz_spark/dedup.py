@@ -368,14 +368,15 @@ def embedding_near_pairs_lsh(
     from sz_spark import ann
 
     bk = ann.hyperplane_buckets(embeddings, dim, n_bits, n_tables)
-    a, b = bk.alias("a"), bk.alias("b")
-    cand = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # in-array pair emission: one groupBy shuffle per the fused pattern
+    # (blocking.block_pairs) instead of the within-bucket self-join
+    blocks = (
+        bk.groupBy("table", "bucket")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = blocking.explode_lower_triangle(blocks, "ids").dropDuplicates(
+        ["id_a", "id_b"]
     )
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")

@@ -1670,13 +1670,15 @@ def dedup_minhash_lsh(spark, sf):
             )
         ).alias("b"),
     ).select("conv_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh"))
-    long = long.localCheckpoint(eager=True)
-    a, b = long.alias("a"), long.alias("b")
-    return (
-        a.join(b, ["band_id", "bh"])
-        .filter(F.col("a.conv_id") < F.col("b.conv_id"))
-        .select(F.col("a.conv_id").alias("id_a"), F.col("b.conv_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    # in-array pair emission — one groupBy shuffle, no self-join, no
+    # checkpointed shared band table (see _md5_band_pairs)
+    blocks = (
+        long.groupBy("band_id", "bh")
+        .agg(F.collect_list("conv_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    return blocking.explode_lower_triangle(blocks, "ids").dropDuplicates(
+        ["id_a", "id_b"]
     )
 
 
