@@ -229,11 +229,17 @@ def render_markdown() -> str:
     out.append(
         "Worst-case pair bound (cap-governed, skew-independent): "
         f"{Projection(n_turns=1e12).pairs_worst_case:.3g} pairs at 100 TB — "
-        "the block cap + recall-preserving salting make the scoring stage's "
-        "size a function of the CAP, not of key skew; AQE handles residual "
-        "partition imbalance.  Knobs: ndim/n_bands trade recall for band "
-        "rows; max_block_size bounds per-block DP; salt_up_to bounds how "
-        "large a block may grow before salting splits it."
+        "the block cap makes the scoring stage's size a function of the "
+        "CAP, not of key skew.  Since the fused block_pairs plan, pair "
+        "generation is in-array per block (one groupBy shuffle; the "
+        "window cap drops oversize blocks BEFORE any list is collected, "
+        "bounding both aggregation-state memory and per-task emission at "
+        "cap and cap^2 respectively) — there is no pair self-join left "
+        "to skew, so the former salting tier is simply the upper drop "
+        "threshold.  AQE handles residual partition imbalance.  Knobs: "
+        "ndim/n_bands trade recall for band rows; max_block_size bounds "
+        "per-block DP; salt_up_to bounds how large a block may grow "
+        "before suppression."
     )
     out.append("")
     return "\n".join(out)
