@@ -40,7 +40,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int = 1000,
+    max_shingle_freq: int | None = 1000,
     materialize: bool = True,
 ) -> DataFrame:
     """Word n-gram Jaccard similarity join.
@@ -49,7 +49,9 @@ def ngram_jaccard_pairs(
     counts come from in-block pair emission, sizes from one aggregate.
     ``max_shingle_freq`` drops stop-shingles (a shingle in f docs
     generates f^2 pair rows — the frequency cap is the skew guard at
-    corpus scale).
+    corpus scale); ``None`` disables the cap AND its window pass (the
+    small-corpus / oracle-parity mode — without the cap the plan is a
+    plain hash aggregate, no sort).
 
     Fused plan (two shuffles on the big table, no persist): one window
     count partitioned by shingle applies the frequency cap BEFORE any
@@ -64,15 +66,18 @@ def ngram_jaccard_pairs(
     without an exchange to reuse.  ``materialize`` is retained for API
     compatibility and ignored.
     """
-    from pyspark.sql import Window
-
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(word_shingles(text_col, n))).alias("sh")
     )
-    w = Window.partitionBy("sh")
-    capped = sh.withColumn("f", F.count(F.lit(1)).over(w)).filter(
-        F.col("f") <= max_shingle_freq
-    )
+    if max_shingle_freq is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("sh")
+        capped = sh.withColumn("f", F.count(F.lit(1)).over(w)).filter(
+            F.col("f") <= max_shingle_freq
+        )
+    else:
+        capped = sh
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     blocks = (
         capped.groupBy("sh")

@@ -1652,7 +1652,7 @@ HAVING count(*) > 1
 
 def dedup_ngram_jaccard(spark, sf):
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), threshold=0.5, max_shingle_freq=10**9
+        _t(spark, sf, "documents"), threshold=0.5, max_shingle_freq=None
     )
 
 
