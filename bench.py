@@ -470,10 +470,21 @@ def main() -> None:
             for (ca, a), (cb, b) in zip(probes, probes[1:])
         ]
         # weak-scaling: HIGH//LOW concurrent independent copies of the
-        # low-core job (the single-box analog of separate executors)
-        weak_walls, weak_load = run_weak_scaling(LOW, HIGH, SF_DIR, SCALE_K)
-        log(f"[bench] weak-scaling {HIGH // LOW}x local[{LOW}] walls: {weak_walls}"
-            f" box_load: {weak_load}")
+        # low-core job (the single-box analog of separate executors).
+        # TWO reps, min-makespan kept — the same uncontended-machine
+        # estimator philosophy as minmin (hypervisor bursts are episodic;
+        # one rep usually lands clean).
+        weak_reps = []
+        weak_load = None
+        for _rep in range(2):
+            time.sleep(5)
+            walls_i, load_i = run_weak_scaling(LOW, HIGH, SF_DIR, SCALE_K)
+            log(f"[bench] weak-scaling {HIGH // LOW}x local[{LOW}] walls: {walls_i}"
+                f" box_load: {load_i}")
+            weak_reps.append(walls_i)
+            if weak_load is None or max(walls_i) < max(weak_load_walls):
+                weak_load, weak_load_walls = load_i, walls_i
+        weak_walls = min(weak_reps, key=max)
         weak_eff = round(low["wall_sec"] / (sum(weak_walls) / len(weak_walls)), 3)
         speedup = high["turns_per_sec"] / low["turns_per_sec"]
         eff = speedup / (HIGH / LOW)
@@ -510,7 +521,24 @@ def main() -> None:
             # of the multi-executor analog on this box (see
             # run_weak_scaling docstring)
             "weak_scaling_walls": weak_walls,
+            "weak_scaling_all_reps": weak_reps,
             "weak_scaling_efficiency": weak_eff,
+            # THE executor-analog gate metric (north rule: N -> 4N
+            # EXECUTORS): the coordinated local[HIGH] job vs HIGH//LOW
+            # UNCOORDINATED local[LOW] copies on the same box in the
+            # same session.  Both numerator and denominator pay the
+            # identical shared-DRAM/L3/turbo tax, so it cancels; what
+            # remains is exactly what adding executors to a real
+            # cluster can lose — the plan's own coordination cost
+            # (shuffles, barriers, stragglers, skew).  Uncontended
+            # estimator: min-wall high probe vs min-makespan weak rep.
+            #   strong tput = n_turns / min_high_wall
+            #   weak agg tput = (HIGH//LOW) * n_turns / weak_makespan
+            "scaling_efficiency_strong_vs_weak": round(
+                max(weak_walls)
+                / ((HIGH // LOW) * min(h["wall_sec"] for h in highs)),
+                3,
+            ),
             # direct external-contention evidence, bracketing each probe:
             # external_busy_cores = box busy cores NOT in our subprocess
             # tree; steal_cores = CPU the hypervisor withheld from this
@@ -533,16 +561,21 @@ def main() -> None:
             # compute, 0.0 as poorly as pure memory traffic.  Both
             # ceilings are single-box artifacts a multi-node cluster
             # does not share.
+            # undefined (None) when the two measured ceilings invert
+            # (bw_eff >= alu_eff happens under hypervisor noise — run I
+            # measured bw_eff 1.009 and the old 1e-9 guard emitted -590M)
             "roofline_position": (
                 round(
                     (eff - ceiling["bw_ceiling_efficiency"])
-                    / max(
+                    / (
                         ceiling["ceiling_efficiency"]
-                        - ceiling["bw_ceiling_efficiency"],
-                        1e-9,
+                        - ceiling["bw_ceiling_efficiency"]
                     ),
                     3,
                 )
+                if ceiling["ceiling_efficiency"]
+                > ceiling["bw_ceiling_efficiency"] + 0.02
+                else None
             ),
             "machine_ceiling": ceiling,
         }
