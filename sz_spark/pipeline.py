@@ -116,11 +116,18 @@ def run_pipeline(
     id_map = docs.select("did", "conv_id")
 
     def _scored():
-        with_texts = scoring.attach_texts(pairs, docs, id_col="did", with_histogram=True)
-        pruned = scoring.length_prune(with_texts, cfg.threshold)
+        # prune BEFORE attaching texts: the length/histogram prunes need
+        # only (len, hist) per side (~800 B/pair) and drop ~95% of
+        # candidates; the doc bytes join only the survivors (measured
+        # funnel in scoring.attach_prune_attrs docstring)
+        attrs = scoring.attach_prune_attrs(pairs, docs, id_col="did")
+        pruned = scoring.length_prune(attrs, cfg.threshold)
         pruned = scoring.histogram_prune(pruned, cfg.threshold)
+        with_texts = scoring.attach_texts(
+            pruned.select("id_a", "id_b"), docs, id_col="did"
+        )
         out = scoring.score_pairs(
-            pruned, threshold=None, bounded=cfg.threshold
+            with_texts, threshold=None, bounded=cfg.threshold
         ).select("id_a", "id_b", "edit_distance", "sim")
         # map surrogates back to conv_ids on the (small) scored output
         return (

@@ -62,6 +62,37 @@ def attach_texts(
     return out
 
 
+def attach_prune_attrs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "conv_id",
+    text_col: str = "doc",
+) -> DataFrame:
+    """pairs(id_a, id_b) ⋈ docs -> + (len_a, len_b, hist_a, hist_b):
+    the prune-only attributes, WITHOUT the texts.
+
+    The production flow attaches these first, prunes, and only then
+    attaches texts (attach_texts) to the survivors.  Measured funnel at
+    bench scale 16 (133k docs, avg 666 B): 1.46M candidate pairs, of
+    which the histogram prune drops 95.5% — attaching texts up front
+    shuffled ~1.3 KB of doc bytes per candidate (2x666 B) that the prune
+    then discarded, ~2/3 of the scored-stage join traffic.  The two
+    extra survivor-side joins are broadcast-sized (66k pairs x 16 B)."""
+    slim = docs.select(
+        F.col(id_col).alias("_id"),
+        F.length(text_col).alias("_len"),
+        byte_histogram_udf(F.encode(F.col(text_col), "utf-8")).alias("_hist"),
+    )
+    return (
+        pairs.join(slim.withColumnRenamed("_id", "id_a"), "id_a")
+        .withColumnRenamed("_len", "len_a")
+        .withColumnRenamed("_hist", "hist_a")
+        .join(slim.withColumnRenamed("_id", "id_b"), "id_b")
+        .withColumnRenamed("_len", "len_b")
+        .withColumnRenamed("_hist", "hist_b")
+    )
+
+
 def histogram_prune(pairs_with_hists: DataFrame, threshold: float) -> DataFrame:
     """Counting-filter prune: L1 distance of byte histograms / 2 is a
     lower bound on edit distance, so any pair whose histogram gap alone

@@ -235,3 +235,54 @@ def test_arrow_transport_parity(spark):
     assert (m.loc[kept, "sim_a"] == m.loc[kept, "sim_p"]).all()
     assert ((m.sim_a < tau) == (m.sim_p < tau)).all()
     assert kept.sum() > 0  # the parity check must not be vacuous
+
+
+def test_prune_first_scored_flow_parity(spark):
+    """The production scored flow (attach_prune_attrs -> prunes ->
+    attach_texts on survivors) must select exactly the pair set of the
+    attach-everything-first flow, and score it identically — the
+    restructure only moves WHEN the doc bytes join, never WHAT is
+    scored."""
+    from pyspark.sql import functions as F
+
+    from sz_spark import canonicalize as canon, scoring
+    from sz_spark.queries import _md5_band_pairs
+    from sz_spark.transcripts import build_transcripts
+
+    tau = 0.94
+    docs = canon.canonicalize(build_transcripts(spark, SF_DIR))
+    pairs = _md5_band_pairs(docs)
+
+    # old flow: texts + hists attached up front
+    wt_old = scoring.attach_texts(pairs, docs, with_histogram=True)
+    pruned_old = scoring.histogram_prune(
+        scoring.length_prune(wt_old, tau), tau
+    )
+    old = (
+        scoring.score_pairs(pruned_old, bounded=tau)
+        .select("id_a", "id_b", "edit_distance", F.round("sim", 9).alias("sim"))
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+
+    # production flow: prune on (len, hist) only, texts join survivors
+    attrs = scoring.attach_prune_attrs(pairs, docs)
+    pruned = scoring.histogram_prune(scoring.length_prune(attrs, tau), tau)
+    wt_new = scoring.attach_texts(pruned.select("id_a", "id_b"), docs)
+    new = (
+        scoring.score_pairs(wt_new, bounded=tau)
+        .select("id_a", "id_b", "edit_distance", F.round("sim", 9).alias("sim"))
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+
+    assert len(old) > 0  # non-vacuous
+    m = old.merge(new, on=["id_a", "id_b"], suffixes=("_o", "_n"))
+    assert len(m) == len(old) == len(new)
+    # kept pairs (>= tau on either side) must agree exactly; sub-tau
+    # pairs may clamp differently (chunk composition) but must agree on
+    # which side of tau they land
+    kept = (m.sim_o >= tau) | (m.sim_n >= tau)
+    assert (m.loc[kept, "edit_distance_o"] == m.loc[kept, "edit_distance_n"]).all()
+    assert (m.loc[kept, "sim_o"] == m.loc[kept, "sim_n"]).all()
+    assert ((m.sim_o < tau) == (m.sim_n < tau)).all()
