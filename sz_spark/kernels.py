@@ -327,7 +327,17 @@ def _fp_padded_flat(
 
     mult = params.mult[perm].astype(np.float64)[None, :]  # (1, D)
     mod = params.mod[perm].astype(np.float64)[None, :]
-    inv_mod = 1.0 / mod
+    # 1/mod rounded UP: the Barrett quotient t = floor(s * inv_mod) is
+    # then provably in {q, q+1} for every exact-integer s < 2^52 (with
+    # inv rounded up, the product is >= s/mod minus half an ulp, so the
+    # floor never drops to q-1; and the error margin ~2^-41.5 cannot
+    # push it past q+1).  Consequence: the reduced state sits in
+    # (-mod, mod) — the >=mod clamp AND its full-array max() detection
+    # pass disappear from the hot loop; only the rare negative case
+    # (t = q+1, probability ~2^-41 per element) needs one min() guard.
+    # Residues are bit-identical (tests/test_kernels.py conformance
+    # suite + the directed-rounding boundary stress test).
+    inv_mod = np.nextafter(1.0 / mod, np.inf)
     disc = params.disc[perm].astype(np.float64)[None, :]
 
     sentinel = np.float64(2.0**60)
@@ -355,8 +365,9 @@ def _fp_padded_flat(
         np.floor(t, out=t)
         t *= mod
         s -= t
+        # inv_mod rounds up => t in {q, q+1} => s in (-mod, mod): only
+        # the negative branch can occur (no >=mod clamp anywhere)
         s += mod * (s < 0.0)
-        s -= mod * (s >= mod)
         for w, sl in groups:
             if w - 1 == p:  # boundary: first full window
                 minv[k:, sl] = s[:, sl]
@@ -373,7 +384,6 @@ def _fp_padded_flat(
 
     # --- hot loop: every dimension rolling, no masks, all in-place ---
     ge_buf = np.empty((b, ndim), dtype=bool)
-    min_mod = float(params.mod.min())
     for p in range(max_w, max_len):
         k = int(ks[p])
         s = state[k:]
@@ -388,13 +398,12 @@ def _fp_padded_flat(
         np.floor(t, out=t)
         t *= mod
         s -= t
-        # clamp only when the floor-reduction actually left residue —
-        # detected by scalar min/max reductions (no bool-matrix allocs
-        # on the common all-in-range path)
+        # inv_mod rounds up => t in {q, q+1} => s in (-mod, mod); the
+        # >=mod clamp and its max() detection pass are provably dead,
+        # and the negative branch (t = q+1, ~2^-41 per element) costs
+        # one scalar min() reduction on the common all-in-range path
         if s.min() < 0.0:
             s += mod * (s < 0.0)
-        if s.max() >= min_mod:
-            s -= mod * (s >= mod)
         mv = minv[k:]
         if with_counts:
             c = count[k:]

@@ -544,3 +544,39 @@ def test_fingerprints_rolling_sql_oracle_random_differential():
     for i, (doc_id, dim, mh, mc) in enumerate(rows):
         di, dd = divmod(i, 128)
         assert int(h[di, dd]) == mh and int(c[di, dd]) == mc, (doc_id, dim)
+
+
+def test_directed_rounding_barrett_boundaries():
+    """The hot loop's Barrett reduction uses 1/mod rounded UP so the
+    quotient t = floor(s * inv_mod) is provably in {q, q+1} — the >=mod
+    clamp is dead and only a negative branch remains.  Stress the claim
+    at the exact boundaries (remainder r in {0, 1, 2, m-2, m-1}) for
+    every (mult, mod) pair of the default parameter families and every
+    quotient magnitude the kernel can produce (s <= 896*mod < 2^52)."""
+    import numpy as np
+
+    from sz_spark import kernels as K
+
+    for ndim, seed in ((96, 0), (128, 0), (128, 7), (64, 123)):
+        p = K.fingerprint_params(ndim, None, seed)
+        mod = p.mod.astype(np.float64)
+        inv_up = np.nextafter(1.0 / mod, np.inf)
+        qs = np.array([0, 1, 2, 3, 255, 640, 895, 896], dtype=np.float64)
+        for r_off in (0.0, 1.0, 2.0):
+            for r in (r_off, None):  # low boundary and high boundary
+                rr = (
+                    np.full(len(mod), r_off)
+                    if r is not None
+                    else (mod - 1.0 - r_off)
+                )
+                # s = q*m + r exactly (all terms integers < 2^53)
+                s = qs[:, None] * mod[None, :] + rr[None, :]
+                assert s.max() < 2.0**53
+                t = np.floor(s * inv_up[None, :])
+                red = s - t * mod[None, :]
+                # quotient within {q, q+1}
+                assert (t >= qs[:, None]).all()
+                assert (t <= qs[:, None] + 1.0).all()
+                # after the single negative clamp: exact remainder
+                red = red + mod[None, :] * (red < 0.0)
+                assert (red == rr[None, :]).all(), (ndim, seed, r_off, r)
