@@ -28,6 +28,10 @@ CAL = {
     "avg_doc_bytes": 666.0,
     "pairs_per_doc": 3844 / 8339,
     "edges_per_doc": 3753 / 8339,
+    # histogram-prune survivor fraction, measured at bench scale 16
+    # (66,166 of 1,460,319 candidates survive the length+histogram
+    # prunes and receive doc bytes)
+    "prune_survivor_ratio": 66166 / 1460319,
 }
 
 #: UnsafeRow-ish per-row overhead applied to every shuffled row (null
@@ -115,10 +119,17 @@ class Projection:
 
     @property
     def attach_bytes(self) -> float:
-        """Pair-scoring shuffle: each surviving pair ships two docs +
-        two 96-bucket int histograms + ids to the scorer."""
-        per_pair = 2 * (self.avg_doc_bytes + 96 * 4 + 8) + ROW_OVERHEAD
-        return self.pairs * per_pair
+        """Pair-scoring shuffle under the prune-first flow (r5 session 3):
+        every candidate ships only (len, 96-bucket int hist) per side,
+        and the doc BYTES join only the prune survivors.  Survivor ratio
+        measured at bench scale 16: 66,166 / 1,460,319 candidates
+        (histogram prune drops 95.5%); projected at 2x that, i.e. ~9%,
+        to stay conservative for corpora with weaker byte-histogram
+        contrast."""
+        attr_per_pair = 2 * (96 * 4 + 8 + 8) + ROW_OVERHEAD
+        text_per_pair = 2 * (self.avg_doc_bytes + 8) + ROW_OVERHEAD
+        survivor_ratio = 2 * CAL["prune_survivor_ratio"]
+        return self.pairs * (attr_per_pair + survivor_ratio * text_per_pair)
 
     @property
     def edges(self) -> float:
