@@ -64,18 +64,74 @@ def window_quiet():
     return busy < 0.6 and steal < 0.15 and tri >= TRIAD_MIN_GBS
 
 
-deadline = time.time() + MAX_WAIT_MIN * 60
-streak = 0
-while time.time() < deadline:
-    streak = streak + 1 if window_quiet() else 0
-    if streak >= 2:
-        print("[quiet_bench] quiet window confirmed, launching bench", flush=True)
-        break
-    time.sleep(30)
-else:
-    print("[quiet_bench] wait budget exhausted, launching anyway", flush=True)
+def wait_for_quiet(deadline) -> bool:
+    streak = 0
+    while time.time() < deadline:
+        streak = streak + 1 if window_quiet() else 0
+        if streak >= 2:
+            print("[quiet_bench] quiet window confirmed, launching bench",
+                  flush=True)
+            return True
+        time.sleep(30)
+    return False
 
-with open(OUT, "w") as out, open(OUT + ".err", "w") as err:
-    subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                   stdout=out, stderr=err, check=False)
+
+def run_bench_abortable(deadline) -> bool:
+    """Launch the bench; ABORT it if the box turns hostile early.
+
+    Run J (BENCH_local_r5_runJ.json) showed the failure mode this
+    guards: the launch window read clean, then a ~50-minute hypervisor
+    burst arrived minutes in and contaminated every probe.  While the
+    bench runs, sample steal+external-busy every 60 s; if the first
+    ~7 minutes accumulate 3 hostile samples (steal > 0.8 cores or
+    external busy > 1.5 cores), kill the run, discard the partial
+    output, and let the caller re-wait — a wasted 7 minutes beats a
+    wasted 50.  After the early window the run is left to finish
+    (late contamination is visible in its own box_load brackets).
+    Returns True when the bench ran to completion."""
+    with open(OUT, "w") as out, open(OUT + ".err", "w") as err:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            stdout=out, stderr=err,
+        )
+        t_start = time.time()
+        hostile = 0
+        while proc.poll() is None:
+            t0, b0, s0 = cpu_sample()
+            time.sleep(60)
+            t1, b1, s1 = cpu_sample()
+            w = t1 - t0
+            steal = (s1 - s0) / 100 / w
+            # our own bench is in this guest: hostile means STEAL (the
+            # hypervisor withholding cycles), not guest-busy
+            if steal > 0.8:
+                hostile += 1
+                print(f"[quiet_bench] hostile sample steal={steal:.2f} "
+                      f"({hostile}/3)", flush=True)
+            if time.time() - t_start > 7 * 60:
+                break  # early window over; let it finish either way
+            if hostile >= 3 and time.time() < deadline - 15 * 60:
+                print("[quiet_bench] burst confirmed, aborting run to "
+                      "re-wait", flush=True)
+                proc.terminate()
+                try:
+                    proc.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                return False
+        proc.wait()
+        return True
+
+
+deadline = time.time() + MAX_WAIT_MIN * 60
+while True:
+    if not wait_for_quiet(deadline):
+        print("[quiet_bench] wait budget exhausted, launching anyway",
+              flush=True)
+        with open(OUT, "w") as out, open(OUT + ".err", "w") as err:
+            subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                           stdout=out, stderr=err, check=False)
+        break
+    if run_bench_abortable(deadline):
+        break
 print(f"[quiet_bench] done -> {OUT}", flush=True)
