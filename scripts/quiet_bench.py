@@ -22,6 +22,13 @@ import time
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_quiet.out"
 MAX_WAIT_MIN = float(sys.argv[2]) if len(sys.argv) > 2 else 90.0
 TRIAD_MIN_GBS = float(os.environ.get("SZ_QUIET_TRIAD_GBS", "10.0"))
+# launch thresholds, env-tunable: some host modes hold a steady 0.3-1.0
+# cores of steal for hours with healthy DRAM (seen r5 session 4) — in
+# that regime waiting for steal < 0.15 never fires and the right call
+# is a documented higher bar (the run's own box_load brackets and the
+# abort-on-burst guard still label/kill genuinely hostile windows)
+BUSY_MAX = float(os.environ.get("SZ_QUIET_BUSY", "0.6"))
+STEAL_MAX = float(os.environ.get("SZ_QUIET_STEAL", "0.15"))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -61,7 +68,7 @@ def window_quiet():
     tri = triad_gbs()
     print(f"[quiet_bench] busy {busy:.2f} steal {steal:.2f} triad {tri:.1f} GB/s",
           flush=True)
-    return busy < 0.6 and steal < 0.15 and tri >= TRIAD_MIN_GBS
+    return busy < BUSY_MAX and steal < STEAL_MAX and tri >= TRIAD_MIN_GBS
 
 
 def wait_for_quiet(deadline) -> bool:
