@@ -28,6 +28,7 @@ import os
 import sys
 import time
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -299,6 +300,68 @@ def _box_load(
     }
 
 
+# ---- calm-window scheduling -------------------------------------------
+# Run J (BENCH_local_r5_runJ.json) documented the cost of launching
+# probes into a hypervisor burst: every estimator of that session
+# described the neighbor, not the plan.  The bench now defends itself:
+# before each scaling probe (and each weak rep, and the headline loop)
+# it samples the box briefly and, if the window is hostile, waits for
+# calm — bounded by a GLOBAL budget so the bench's total wall stays
+# predictable for the driver.  A probe whose own bracket still reads
+# hostile is retried once (bounded by BENCH_PROBE_RETRIES across the
+# whole run); the discarded result stays in the JSON under
+# `hostile_probes_discarded` so nothing is hidden.
+CALM_SAMPLE_S = float(os.environ.get("BENCH_CALM_SAMPLE_S", "10"))
+CALM_STEAL = float(os.environ.get("BENCH_CALM_STEAL", "0.3"))
+CALM_BUSY = float(os.environ.get("BENCH_CALM_BUSY", "1.2"))
+HOSTILE_STEAL = float(os.environ.get("BENCH_HOSTILE_STEAL", "0.5"))
+HOSTILE_EXT = float(os.environ.get("BENCH_HOSTILE_EXT", "1.5"))
+_CALM_BUDGET = {"left": float(os.environ.get("BENCH_CALM_WAIT_TOTAL_S", "600"))}
+_RETRY_BUDGET = {"left": int(os.environ.get("BENCH_PROBE_RETRIES", "2"))}
+
+
+def _calm_sample(seconds: float) -> tuple[float, float]:
+    """(steal_cores, busy_cores) over a short idle window.  Our own
+    tree is idle while this samples, so whole-box busy ≈ external."""
+    b0 = _box_sample()
+    time.sleep(seconds)
+    b1 = _box_sample()
+    if not b0 or not b1:
+        return 0.0, 0.0
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    w = b1["t"] - b0["t"]
+    steal = (b1["steal_jiffies"] - b0["steal_jiffies"]) / hz / w
+    busy = (b1["busy_jiffies"] - b0["busy_jiffies"]) / hz / w
+    return steal, busy
+
+
+def wait_for_calm(label: str) -> None:
+    """Block until a calm sample (steal/busy below thresholds) or the
+    global wait budget runs out.  Costs one CALM_SAMPLE_S when the box
+    is already calm."""
+    while True:
+        steal, busy = _calm_sample(CALM_SAMPLE_S)
+        if steal < CALM_STEAL and busy < CALM_BUSY:
+            return
+        if _CALM_BUDGET["left"] <= 0:
+            log(f"[bench] {label}: calm budget exhausted, proceeding "
+                f"(steal {steal:.2f} busy {busy:.2f})")
+            return
+        wait = min(30.0, _CALM_BUDGET["left"])
+        log(f"[bench] {label}: hostile window (steal {steal:.2f} busy "
+            f"{busy:.2f}), waiting {wait:.0f}s (budget {_CALM_BUDGET['left']:.0f}s)")
+        _CALM_BUDGET["left"] -= wait + CALM_SAMPLE_S
+        time.sleep(wait)
+
+
+def _bracket_hostile(r: dict) -> bool:
+    load = r.get("box_load") or {}
+    return (
+        load.get("steal_cores", 0.0) > HOSTILE_STEAL
+        or load.get("external_busy_cores", 0.0) > HOSTILE_EXT
+    )
+
+
 def run_pipeline_at(cores: int, sf_dir: str, scale_k: int) -> dict:
     """Run one scaling probe in a FRESH subprocess (own JVM).
 
@@ -382,11 +445,15 @@ def main() -> None:
     # measured 63.5 s (warm rerun: 2.5 s — BASELINE "session 4").  The
     # per-query numbers are meant to time the PLAN, not the OS page
     # cache, so spin the pool up once here, same as the JVM warmup.
-    import pandas as _pd
+    # NOTE: the UDF's type hints must resolve in the function's module
+    # globals (PEP 563 strings under `from __future__ import
+    # annotations`) — a locally-aliased `import pandas as _pd` broke
+    # pyspark's hint inference with UNSUPPORTED_SIGNATURE; `pd` is
+    # imported at module level for exactly this.
     from pyspark.sql.functions import pandas_udf as _pudf
 
     @_pudf("long")
-    def _warm(s: _pd.Series) -> _pd.Series:
+    def _warm(s: pd.Series) -> pd.Series:
         import numpy  # noqa: F401  (pull the heavy imports in every worker)
         import pyarrow  # noqa: F401
 
@@ -396,6 +463,7 @@ def main() -> None:
         _warm("id").alias("w")
     ).selectExpr("max(w)").collect()
 
+    wait_for_calm("headline queries")
     query_secs: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
@@ -449,6 +517,7 @@ def main() -> None:
     extras: dict = {"segmentation_mb_per_s_1core": seg_mbs}
     if not os.environ.get("BENCH_SKIP_SCALING"):
         time.sleep(45)  # let the box cool after the headline queries
+        wait_for_calm("ceiling calibration")
         ceiling = machine_scaling_ceiling(LOW, HIGH)
         log(f"[bench] machine ALU ceiling: {ceiling}")
         # This box's short high-core runs vary up to ±50% under noisy-
@@ -471,10 +540,28 @@ def main() -> None:
         probe_order = (HIGH, LOW, HIGH, LOW, HIGH, LOW, HIGH)
         highs, lows = [], []
         probes = []
+        discarded = []
         for i, cores in enumerate(probe_order):
             time.sleep(5)
+            wait_for_calm(f"probe {i + 1} local[{cores}]")
             r = run_pipeline_at(cores, SF_DIR, SCALE_K)
             log(f"[bench] scaling probe {i + 1}/{len(probe_order)} local[{cores}]: {r}")
+            # a probe whose own bracket read hostile measured the
+            # neighbor; retry it once in a calmer window (bounded),
+            # keeping the discarded result visible in the JSON
+            if (
+                _bracket_hostile(r)
+                and _RETRY_BUDGET["left"] > 0
+                and _CALM_BUDGET["left"] > 0
+            ):
+                _RETRY_BUDGET["left"] -= 1
+                discarded.append({"cores": cores, **{k: r[k] for k in
+                                  ("wall_sec", "tree_cpu_sec")}, **r["box_load"]})
+                log(f"[bench] probe {i + 1} bracket hostile "
+                    f"({r['box_load']}), retrying once")
+                wait_for_calm(f"probe {i + 1} retry")
+                r = run_pipeline_at(cores, SF_DIR, SCALE_K)
+                log(f"[bench] scaling probe {i + 1} RETRY local[{cores}]: {r}")
             probes.append((cores, r))
             (highs if cores == HIGH else lows).append(r)
         high = sorted(highs, key=lambda r: r["wall_sec"])[1]  # lower median of 4
@@ -497,6 +584,7 @@ def main() -> None:
         weak_load = None
         for _rep in range(2):
             time.sleep(5)
+            wait_for_calm(f"weak rep {_rep + 1}")
             walls_i, load_i = run_weak_scaling(LOW, HIGH, SF_DIR, SCALE_K)
             log(f"[bench] weak-scaling {HIGH // LOW}x local[{LOW}] walls: {walls_i}"
                 f" box_load: {load_i}")
@@ -574,6 +662,10 @@ def main() -> None:
                 if r.get("box_load")
             ],
             "box_load_weak_scaling": weak_load,
+            # probes re-run after a hostile bracket (calm-window
+            # scheduling above); the original measurements, undiscarded
+            "hostile_probes_discarded": discarded,
+            "calm_wait_budget_left_s": round(_CALM_BUDGET["left"], 1),
             # where the job's raw efficiency sits between the same-run
             # ALU ceiling (~1.0 here) and the DRAM-bandwidth ceiling
             # (~0.45 here): 1.0 means the job scales as well as pure
