@@ -335,22 +335,26 @@ def _calm_sample(seconds: float) -> tuple[float, float]:
     return steal, busy
 
 
-def wait_for_calm(label: str) -> None:
+def wait_for_calm(label: str, budget: dict | None = None) -> None:
     """Block until a calm sample (steal/busy below thresholds) or the
-    global wait budget runs out.  Costs one CALM_SAMPLE_S when the box
-    is already calm."""
+    wait budget runs out.  Costs one CALM_SAMPLE_S when the box is
+    already calm.  `budget` defaults to the scaling-probe budget; the
+    headline loop passes its own smaller one so per-query waits can
+    never starve the probes."""
+    if budget is None:
+        budget = _CALM_BUDGET
     while True:
         steal, busy = _calm_sample(CALM_SAMPLE_S)
         if steal < CALM_STEAL and busy < CALM_BUSY:
             return
-        if _CALM_BUDGET["left"] <= 0:
+        if budget["left"] <= 0:
             log(f"[bench] {label}: calm budget exhausted, proceeding "
                 f"(steal {steal:.2f} busy {busy:.2f})")
             return
-        wait = min(30.0, _CALM_BUDGET["left"])
+        wait = min(30.0, budget["left"])
         log(f"[bench] {label}: hostile window (steal {steal:.2f} busy "
-            f"{busy:.2f}), waiting {wait:.0f}s (budget {_CALM_BUDGET['left']:.0f}s)")
-        _CALM_BUDGET["left"] -= wait + CALM_SAMPLE_S
+            f"{busy:.2f}), waiting {wait:.0f}s (budget {budget['left']:.0f}s)")
+        budget["left"] -= wait + CALM_SAMPLE_S
         time.sleep(wait)
 
 
@@ -463,14 +467,37 @@ def main() -> None:
         _warm("id").alias("w")
     ).selectExpr("max(w)").collect()
 
-    wait_for_calm("headline queries")
+    # Heavy queries dominate the BASELINE comparison and a single
+    # sample caught by a hypervisor burst reads like a 2-4x regression
+    # (run K: dedup_minhash_lsh 23.9 s mid-burst vs the 5.8 s record in
+    # the same binary).  They get a calm-wait before each of TWO
+    # samples, min kept, both recorded — the standard uncontended-
+    # machine estimator, same philosophy as scaling minmin.  The
+    # headline loop draws from its own wait budget so it can never
+    # starve the scaling probes.
+    heavy = {
+        "szs_fingerprints", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_embedding_cosine", "ann_cosine_topk", "er_pair_scores_lev",
+    }
+    headline_budget = {
+        "left": float(os.environ.get("BENCH_CALM_WAIT_HEADLINE_S", "240"))
+    }
+    wait_for_calm("headline queries", headline_budget)
     query_secs: dict[str, float] = {}
+    query_samples: dict[str, list] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()
-        query_secs[name] = round(time.time() - t0, 2)
-        log(f"[bench] {name}: {query_secs[name]}s ({n} rows)")
+        samples = []
+        for _rep in range(2 if name in heavy else 1):
+            if name in heavy:
+                wait_for_calm(name, headline_budget)
+            t0 = time.time()
+            n = fn(spark, SF_DIR).count()
+            samples.append(round(time.time() - t0, 2))
+        query_secs[name] = min(samples)
+        if len(samples) > 1:
+            query_samples[name] = samples
+        log(f"[bench] {name}: {query_secs[name]}s ({n} rows) {samples}")
     # Timing policy (r4): every registered query is now storage-residue-
     # free by construction — the band-table caches were removed and the
     # shingle persist unpersists after its consuming action
@@ -514,7 +541,11 @@ def main() -> None:
     # calibrate the machine ceiling FIRST (cold, before Spark heats the
     # box); then low, then high, with a short cooldown between runs —
     # wall-clock on this box is thermally noisy (~±20%)
-    extras: dict = {"segmentation_mb_per_s_1core": seg_mbs}
+    extras: dict = {
+        "segmentation_mb_per_s_1core": seg_mbs,
+        # both samples of every min-of-2 heavy query, undiscarded
+        "heavy_query_samples": query_samples,
+    }
     if not os.environ.get("BENCH_SKIP_SCALING"):
         time.sleep(45)  # let the box cool after the headline queries
         wait_for_calm("ceiling calibration")
@@ -709,7 +740,10 @@ def main() -> None:
                 "unit": "turns/sec",
                 "queries": query_secs,
                 "sf": sf,
-                "timing_policy": "per-query cold (no shared caches; warm JVM/footers)",
+                "timing_policy": (
+                    "per-query cold (no shared caches; warm JVM/footers); "
+                    "heavy queries calm-scheduled min-of-2, both samples in extras"
+                ),
                 "extras": extras,
             }
         )
