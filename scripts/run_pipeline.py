@@ -50,11 +50,16 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    # master/deploy mode come from spark-submit; these two configs are
-    # wanted everywhere (AQE + Arrow UDF transport)
+    # master/deploy mode come from spark-submit; these configs are
+    # wanted everywhere (AQE skew-join + Arrow UDF transport; byte-driven
+    # partition coalescing off because the heavy stages are CPU-bound
+    # Arrow UDFs whose cost AQE cannot see — rationale + A/B in
+    # sz_spark/session.py)
     spark = (
         SparkSession.builder.appName("sz_spark_pipeline")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )

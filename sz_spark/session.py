@@ -28,11 +28,23 @@ def build_session(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        # AQE: runtime coalescing + skew-join splitting — the Spark analog
-        # of the reference's two-tier small/large work scheduling
-        # (similarities/serial.hpp:3296-3395)
+        # AQE: runtime re-planning + skew-join splitting — the Spark
+        # analog of the reference's two-tier small/large work scheduling
+        # (similarities/serial.hpp:3296-3395).  Partition COALESCING is
+        # off: AQE sizes post-shuffle partitions by shuffle BYTES, and
+        # this engine's heavy stages are Arrow/pandas UDFs whose cost is
+        # CPU per row on surrogate-long keys — tiny bytes, huge compute —
+        # so byte-driven coalescing collapses exactly the parallelism the
+        # explicit 4x-waves repartitions create (scoring.py documents why
+        # AQE cannot see Python CPU cost).  Measured on the 975k-turn
+        # probe, same session, 8 cores: 29.7/33.5 s with coalescing off
+        # vs 57.4/62.5 s with it on (~1.9x), identical clusters; the
+        # 2-core side improved 80-88 -> 74.6 s.  At 100 TB the explicit
+        # shuffle-partition sizing (scripts/scale_projection.py) already
+        # bounds partition size; skew-join splitting — the part of AQE
+        # that protects the band/pair joins from hot keys — stays ON.
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow is the zero-copy tape the reference's Strs already speaks
