@@ -39,7 +39,12 @@ lineage.CheckpointManager.materialize = timed_materialize
 
 import bench
 
-spark = build_session(master=f"local[{cores}]", shuffle_partitions=4 * cores,
+# PROF_SHUFFLE_PARTITIONS overrides the 4*cores default so the
+# equal-partitions controlled experiment (same plan config at both
+# parallelism levels, like a real N->4N executor comparison where
+# spark.sql.shuffle.partitions is held constant) is one env var away.
+sp = int(os.environ.get("PROF_SHUFFLE_PARTITIONS", 4 * cores))
+spark = build_session(master=f"local[{cores}]", shuffle_partitions=sp,
                       app_name=f"profile_{cores}")
 docs, scale_k = bench.replicated_documents(spark, sf_dir, scale_k)
 t0 = time.time()
@@ -53,9 +58,13 @@ t_pipe = time.time()
 n_clusters = stages["clusters"].select("cluster_id").distinct().count()
 stage_walls["_final_distinct_count"] = round(time.time() - t_pipe, 2)
 wall = time.time() - t0
+tree_cpu = bench._tree_cpu_sec()
 print(json.dumps({
-    "cores": cores, "scale_k": scale_k, "n_turns": n_turns,
+    "cores": cores, "scale_k": scale_k, "shuffle_partitions": sp,
+    "n_turns": n_turns,
     "n_clusters": n_clusters, "wall_sec": round(wall, 2),
+    "tree_cpu_sec": tree_cpu,
+    "cpuset": os.environ.get("PROF_CPUSET", ""),
     "stages": stage_walls,
 }), flush=True)
 spark.stop()

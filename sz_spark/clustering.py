@@ -101,13 +101,22 @@ def connected_components(
 
     n_edges = cur.limit(local_threshold + 1).count()
     if n_edges <= local_threshold:
-        rows = [(r["src"], r["dst"]) for r in cur.collect()]
-        mapping = union_find_local(rows)
+        # Arrow transport both ways: toPandas() and a pandas-backed
+        # createDataFrame move ~100k-2M edges in tens of ms, vs seconds
+        # of driver-serial Row/pickle conversion — this path sits on the
+        # critical path of every probe/pipeline run (r5 Amdahl work).
+        import pandas as pd
+
+        pdf = cur.toPandas()
+        mapping = union_find_local(
+            list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
+        )
         if not mapping:
             return spark.createDataFrame([], "id string, cluster_id string")
-        return spark.createDataFrame(
-            list(mapping.items()), "id string, cluster_id string"
+        out = pd.DataFrame(
+            {"id": list(mapping.keys()), "cluster_id": list(mapping.values())}
         )
+        return spark.createDataFrame(out, "id string, cluster_id string")
 
     prev_sig = None
     for i in range(max_iterations):
