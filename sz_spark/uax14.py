@@ -998,14 +998,6 @@ def line_break_class(cp: int) -> int:
 
 
 _MANDATORY_AFTER = frozenset((LB_BK, LB_CR, LB_LF, LB_NL))
-_LB25_NO_BREAK_PAIRS = frozenset(
-    [
-        (LB_CL, LB_PO), (LB_CP, LB_PO), (LB_CL, LB_PR), (LB_CP, LB_PR),
-        (LB_NU, LB_PO), (LB_NU, LB_PR), (LB_PO, LB_OP), (LB_PO, LB_NU),
-        (LB_PR, LB_OP), (LB_PR, LB_NU), (LB_HY, LB_NU), (LB_IS, LB_NU),
-        (LB_NU, LB_NU), (LB_SY, LB_NU),
-    ]
-)
 
 
 def _collapse(cps: list[int]) -> tuple[list[int], list[int]]:
@@ -1164,9 +1156,37 @@ def _break_allowed(cps, starts, classes, k: int) -> bool:
         return False  # LB24
     if b in (LB_AL, LB_HL) and a in (LB_PR, LB_PO):
         return False  # LB24
-    if (b, a) in _LB25_NO_BREAK_PAIRS:
-        return False  # LB25 (pair approximation of the numeric regex;
-        # b is genuinely adjacent — a space left side already broke at LB18)
+    # LB25 (newest TR14): the contextual numeric regex, mirrored from
+    # the reference's run-state form (utf8_linebreaks/serial.h:419-453):
+    #   NU (SY|IS)* (CL|CP)? x (PO|PR);  (PO|PR) x (OP IS?)? NU;
+    #   (HY|IS) x NU;  NU (SY|IS)* x NU.
+    # (b is genuinely adjacent — a space left side already broke at LB18)
+    if a in (LB_PO, LB_PR):
+        j25 = k - 2 if b in (LB_CL, LB_CP) else k - 1
+        while j25 >= 0 and classes[j25] in (LB_SY, LB_IS):
+            j25 -= 1
+        if j25 >= 0 and classes[j25] == LB_NU:
+            return False  # NU (SY|IS)* (CL|CP)? x (PO|PR)
+    if b in (LB_PO, LB_PR):
+        if a == LB_NU:
+            return False  # (PO|PR) x NU
+        if a == LB_OP and k + 1 < n_cl and classes[k + 1] == LB_NU:
+            return False  # (PO|PR) x OP NU
+        if (
+            a == LB_OP
+            and k + 2 < n_cl
+            and classes[k + 1] == LB_IS
+            and classes[k + 2] == LB_NU
+        ):
+            return False  # (PO|PR) x OP IS NU
+    if a == LB_NU:
+        if b in (LB_HY, LB_IS):
+            return False  # (HY|IS) x NU
+        j25 = k - 1
+        while j25 >= 0 and classes[j25] in (LB_SY, LB_IS):
+            j25 -= 1
+        if j25 >= 0 and classes[j25] == LB_NU:
+            return False  # NU (SY|IS)* x NU
     if b == LB_JL and a in (LB_JL, LB_JV, LB_H2, LB_H3):
         return False  # LB26
     if b in (LB_JV, LB_H2) and a in (LB_JV, LB_JT):

@@ -872,7 +872,12 @@ def is_sentence_boundary(cps, cls, i: int, n: int) -> bool:
         return False  # only ignorables precede: attach (SB998)
     pp = cls[j]
     if pp in _S_PARASEP:
-        return True  # ignorable de-ignored after ParaSep
+        # SB5's ParaSep exception: an Extend/Format right after a
+        # ParaSep does NOT attach to it — the first ignorable is its
+        # own base (reference utf8_sentences/serial.h; pinned by
+        # tests/test_seg_reference_vectors.py).  No SATerm can hide
+        # behind such a base, so only SB998 remains: never a break.
+        return False
     if pp == S_ATERM and np_ == S_NUMERIC:
         return False  # SB6 ("3.14")
     if pp == S_ATERM and np_ == S_UPPER:

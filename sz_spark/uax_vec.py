@@ -174,9 +174,6 @@ _LB_ALHL = _lut(_NLB, (_L.LB_AL, _L.LB_HL))
 _LB15A_LEFT = _lut(_NLB, _L._LB15A_LEFT)
 _LB15B_RIGHT = _lut(_NLB, _L._LB15B_RIGHT)
 _LB20A_LEFT = _lut(_NLB, _L._LB20A_LEFT)
-_LB25_TBL = np.zeros((_NLB, _NLB), dtype=bool)
-for _b, _a in _L._LB25_NO_BREAK_PAIRS:
-    _LB25_TBL[_b, _a] = True
 
 
 # --- cascade helper ---------------------------------------------------------
@@ -680,7 +677,10 @@ def sentence_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
     s_i = text_start_of[1:]
     j_oob = jarr < s_i  # includes jarr < 0
     _rule(d, j_oob, 0)  # only ignorables precede in-text: attach
-    _rule(d, _SB_PARA[jp], 1)  # de-ignored after ParaSep
+    # SB5's ParaSep exception: the first ignorable after a ParaSep is
+    # its own (non-SATerm) base, so SB998 attaches — never a break
+    # (reference parity: tests/test_seg_reference_vectors.py)
+    _rule(d, _SB_PARA[jp], 0)
     _rule(d, (jp == _W.S_ATERM) & (Q == _W.S_NUMERIC), 0)  # SB6
 
     j2 = np.where(jarr >= 1, lb_at[np.maximum(jarr - 1, 0)], -1)
@@ -838,7 +838,7 @@ def grapheme_boundaries(cps: np.ndarray, text_start_of: np.ndarray | None = None
 
 # ctx-rule BITS for the LB pair table, in chain order (walker below)
 (_LCB_15A, _LCB_15B, _LCB_20A, _LCB_21A, _LCB_28A, _LCB_RI, _LCB_19,
- _LCB_30R, _LCB_30L, _LCB_30CN) = (1 << i for i in range(10))
+ _LCB_30R, _LCB_30L, _LCB_30CN, _LCB_25) = (1 << i for i in range(11))
 _LCSP = 3  # ACTION marker: B == SP, resolved by the space mini-cascade
 
 
@@ -941,8 +941,18 @@ def _build_lb_pair_tables(ascii_mode: bool = False):
             yield "T", 0  # LB24
         if b in alhl and a in (L.LB_PR, L.LB_PO):
             yield "T", 0  # LB24
-        if (b, a) in L._LB25_NO_BREAK_PAIRS:
-            yield "T", 0  # LB25 (pair approximation)
+        # LB25 (newest TR14): the contextual numeric regex, mirrored
+        # from the reference's run-state form (serial.h:419-453)
+        if b == L.LB_NU and a in (L.LB_PO, L.LB_PR, L.LB_NU):
+            yield "T", 0  # the "NU (SY|IS)*" run is trivially open at B
+        if b in (L.LB_CL, L.LB_CP, L.LB_SY, L.LB_IS) and a in (L.LB_PO, L.LB_PR):
+            yield "C", _LCB_25  # NU (SY|IS)* (CL|CP)? x (PO|PR)
+        if b in (L.LB_PO, L.LB_PR) and a == L.LB_OP:
+            yield "C", _LCB_25  # (PO|PR) x OP IS? NU (ahead lookahead)
+        if b in (L.LB_PO, L.LB_PR, L.LB_HY, L.LB_IS) and a == L.LB_NU:
+            yield "T", 0  # (PO|PR|HY|IS) x NU
+        if b == L.LB_SY and a == L.LB_NU:
+            yield "C", _LCB_25  # in-run SY x NU
         if b == L.LB_JL and a in (L.LB_JL, L.LB_JV, L.LB_H2, L.LB_H3):
             yield "T", 0  # LB26
         if b in (L.LB_JV, L.LB_H2) and a in (L.LB_JV, L.LB_JT):
@@ -1305,6 +1315,38 @@ def linebreak_decisions(cps: np.ndarray, text_start_of: np.ndarray | None = None
             ctx_rule(_LCB_20A, lambda: (c2_c < 0) | _LB20A_LEFT[np.maximum(c2_c, 0)])
             # LB21a: HL (HY|HH) x [^HL]
             ctx_rule(_LCB_21A, lambda: c2_c == _L.LB_HL)
+
+            # LB25 (newest TR14): the contextual numeric-regex clauses —
+            # "NU (SY|IS)*" run state for the left-context forms, and a
+            # two-cluster lookahead for (PO|PR) x OP IS? NU
+            b25 = pending & ((bits & _LCB_25) != 0)
+            if b25.any():
+                syis = (ccls == _L.LB_SY) | (ccls == _L.LB_IS)
+                lastnon = _last_le(~syis, k_idx())
+                # run open at cluster k iff the nearest non-(SY|IS)
+                # cluster at-or-before k is NU (the LF batch separator
+                # is non-(SY|IS), so runs never cross texts)
+                run_open = (lastnon >= 0) & (
+                    ccls[np.maximum(lastnon, 0)] == _L.LB_NU
+                )
+                close_l = (B_c == _L.LB_CL) | (B_c == _L.LB_CP)
+                run_idx = np.where(close_l, subc - 1, subc)
+                run_l = (run_idx >= 0) & run_open[np.maximum(run_idx, 0)]
+                rp = (A_c == _L.LB_PO) | (A_c == _L.LB_PR)
+                lp = (B_c == _L.LB_PO) | (B_c == _L.LB_PR)
+                ahead2_c = np.where(
+                    subc + 3 < K, ccls[np.minimum(subc + 3, K - 1)], -1
+                )
+                cond = (
+                    (rp & run_l)
+                    | (lp & (A_c == _L.LB_OP) & (ahead_c == _L.LB_NU))
+                    | (lp & (A_c == _L.LB_OP) & (ahead_c == _L.LB_IS)
+                       & (ahead2_c == _L.LB_NU))
+                    | ((A_c == _L.LB_NU) & run_open[subc])
+                )
+                ok = b25 & cond
+                d[subc[ok]] = 0
+                pending[ok] = False
 
             # LB28a: aksara clusters (Dotted Circle acts as a base)
             def lb28a_cond():
