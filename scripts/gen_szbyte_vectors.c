@@ -213,6 +213,42 @@ int main(void) {
         }
     printf("\n  ],\n");
 
+    /* ---------------- sha256 (incremental, chunked) ---------------- */
+    printf("  \"sha256\": [\n");
+    first_case = 1;
+    for (int li = 0; li < n_lengths; ++li) {
+        int len = lengths[li];
+        fill_hay(len, 3, 0x5AA50000ull + (unsigned long long)len);
+        /* three chunking patterns must agree: one-shot, 1-byte drip,
+         * and irregular 7/64/rest splits */
+        int patterns[3][4] = {{len, 0, 0, 0}, {-1, 0, 0, 0}, {7, 64, len, 0}};
+        for (int pi = 0; pi < 3; ++pi) {
+            sz_sha256_state_t st;
+            sz_sha256_state_init_serial(&st);
+            if (patterns[pi][0] == -1) {
+                for (int i = 0; i < len; ++i) sz_sha256_state_update_serial(&st, (sz_cptr_t)hay + i, 1);
+            }
+            else {
+                int done = 0;
+                for (int ci = 0; ci < 4 && done < len; ++ci) {
+                    int take = patterns[pi][ci];
+                    if (take <= 0 || take > len - done) take = len - done;
+                    sz_sha256_state_update_serial(&st, (sz_cptr_t)hay + done, (sz_size_t)take);
+                    done += take;
+                }
+            }
+            sz_u8_t digest[32];
+            sz_sha256_state_digest_serial(&st, digest);
+            sep();
+            printf("    {\"h\": ");
+            print_hex(hay, len);
+            printf(", \"chunks\": %d, \"digest\": ", pi);
+            print_hex(digest, 32);
+            printf("}");
+        }
+    }
+    printf("\n  ],\n");
+
     /* ---------------- equal / order ---------------- */
     printf("  \"order\": [\n");
     first_case = 1;

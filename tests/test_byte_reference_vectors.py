@@ -92,6 +92,21 @@ def test_bytesum_matches_reference(vectors):
         assert sum(h) & 0xFFFFFFFFFFFFFFFF == c["sum"], c
 
 
+def test_sha256_matches_reference(vectors):
+    """The compiled reference's incremental SHA-256 (hash.h:283-331) is
+    FIPS 180-4 SHA-256: every frozen digest — one-shot, 1-byte drip, and
+    irregular 7/64/rest chunkings of the same input — equals hashlib's.
+    This closes the loop on the repo's sha256/hmac surface, which is
+    built on hashlib (kernels.py sha256/hmac kernels)."""
+    import hashlib
+
+    cases = vectors["sha256"]
+    assert len(cases) > 60
+    for c in cases:
+        h = bytes.fromhex(c["h"])
+        assert hashlib.sha256(h).hexdigest() == c["digest"], c
+
+
 def test_order_equal_match_reference(vectors):
     cases = vectors["order"]
     assert len(cases) > 40
