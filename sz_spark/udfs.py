@@ -401,6 +401,27 @@ def hash_multiseed_xxhash(col, seeds=(0, 1, 42, 314159)):
     return F.array(*[F.xxhash64(col, F.lit(int(s))) for s in seeds])
 
 
+def make_sz_hash_exact_udf(seed: int = 0):
+    """Arrow-batched pandas UDF computing the EXACT AES-based `sz.hash`
+    (hash.h:139, README.md:752-830) via sz_spark.szhash — bit-identical
+    to the reference (pinned against 138 compiled-kernel vectors,
+    tests/test_szhash.py).  Returns the u64 hash as its int64 bit
+    pattern, the repo's 'u64 hashes in signed types' convention.
+
+    Use this when porting STORED sz-hash values; the interchangeable-PRF
+    xxhash64 path (hash_multiseed_xxhash) stays the default for
+    blocking/dedup where only PRF quality matters, since it never leaves
+    the JVM."""
+    from sz_spark.szhash import sz_hash_batch
+
+    @pandas_udf(T.LongType())
+    def sz_hash_exact(texts: pd.Series) -> pd.Series:
+        h = sz_hash_batch(_to_bytes(texts), seed=seed)
+        return pd.Series(h.astype("int64"))
+
+    return sz_hash_exact
+
+
 @pandas_udf(T.LongType())
 def bytesum_udf(texts: pd.Series) -> pd.Series:
     """Additive byte checksum (sz.bytesum, hash.h:110)."""
