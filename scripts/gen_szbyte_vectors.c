@@ -147,6 +147,26 @@ int main(void) {
                 unsigned char absent[3] = {0x7F, 0x01, 0x7F}; /* not in any alphabet */
                 emit_find_case(hay, len, absent, 3);
             }
+            /* long needles: every serial specialization tier — exact
+             * 1..4-byte scans, Boyer-Moore-Horspool (<=256), and the
+             * beyond-256 path (find/serial.h:446-488) */
+            {
+                int long_nls[] = {8, 9, 15, 16, 17, 31, 33, 64, 65, 100, 255, 256, 257, 300};
+                for (unsigned k = 0; k < sizeof(long_nls) / sizeof(long_nls[0]); ++k) {
+                    int nl = long_nls[k];
+                    if (nl > len) continue;
+                    int off = (len - nl) % 13;
+                    emit_find_case(hay, len, hay + off, nl); /* guaranteed hit */
+                    if (nl <= len - 1) {
+                        /* near-miss: last byte corrupted (forces full-walk
+                         * rejections through the shift table) */
+                        static unsigned char miss[1100];
+                        memcpy(miss, hay + off, (size_t)nl);
+                        miss[nl - 1] ^= 0x55;
+                        emit_find_case(hay, len, miss, nl);
+                    }
+                }
+            }
         }
     }
     printf("\n  ],\n");
