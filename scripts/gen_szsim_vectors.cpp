@@ -6,6 +6,7 @@
 // for the repo's pytest suite; no reference code enters the repo.
 #include <cstdio>
 #include <cstring>
+#include <cstdlib>
 #include <string>
 #include <vector>
 
@@ -31,19 +32,24 @@ static std::string corpus(int length, unsigned long long base) {
 }
 
 // deterministic text pairs crossing every DP tier: empty, tiny,
-// horizontal (<16 diag), u8 cells, u16 cells (>255 total cost)
+// horizontal (<16 diag), u8 cells, u16 cells (>255 total cost).
+// g_seed_offset / g_n_pairs are settable from argv for fresh-corpus
+// differential campaigns (scripts/fuzz_sim_campaign.py); the defaults
+// reproduce the frozen tests/data/szsim_vectors.json exactly.
+static unsigned long long g_seed_offset = 0;
+static int g_n_pairs = 36;
 static void make_pairs(std::vector<std::string> &as, std::vector<std::string> &bs) {
     int const lens[] = {0, 1, 3, 10, 16, 40, 100, 300, 1000};
-    for (int k = 0; k < 36; ++k) {
+    for (int k = 0; k < g_n_pairs; ++k) {
         int const la = lens[k % 9], lb = lens[(k * 3 + 1) % 9];
-        std::string a = corpus(la, 0xA5EED0000ull + (unsigned long long)k);
+        std::string a = corpus(la, 0xA5EED0000ull + g_seed_offset + (unsigned long long)k);
         std::string b;
         if (k % 4 == 0) { // near-identical pair: copy with one byte bumped
             b = a;
             if (!b.empty()) b[b.size() / 2] = (char)('a' + ((b[b.size() / 2] - 'a' + 1) % 16));
         }
         else if (k % 4 == 1) { b = a.substr(0, a.size() / 2); } // prefix
-        else { b = corpus(lb, 0xB5EED0000ull + (unsigned long long)k); }
+        else { b = corpus(lb, 0xB5EED0000ull + g_seed_offset + (unsigned long long)k); }
         as.push_back(a);
         bs.push_back(b);
     }
@@ -74,7 +80,9 @@ static void emit(char const *name, engine_type_ const &engine, std::vector<std::
     printf("]}");
 }
 
-int main(void) {
+int main(int argc, char **argv) {
+    if (argc > 1) g_seed_offset = strtoull(argv[1], NULL, 10);
+    if (argc > 2) g_n_pairs = atoi(argv[2]);
     std::vector<std::string> as, bs;
     make_pairs(as, bs);
 
