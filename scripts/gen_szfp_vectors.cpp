@@ -7,6 +7,7 @@
 // Used ONLY to freeze oracle vectors; no reference code enters the repo.
 #include <cstdio>
 #include <cstring>
+#include <cstdlib>
 #include <string>
 #include <vector>
 
@@ -63,7 +64,15 @@ struct config_t {
     unsigned long long seed;
 };
 
-int main(void) {
+// settable from argv for fresh-corpus differential campaigns
+// (scripts/fuzz_fp_campaign.py); defaults reproduce the frozen
+// tests/data/szfp_vectors.json exactly.
+static unsigned long long g_seed_offset = 0;
+static int g_n_extra = 0;
+
+int main(int argc, char **argv) {
+    if (argc > 1) g_seed_offset = strtoull(argv[1], NULL, 10);
+    if (argc > 2) g_n_extra = atoi(argv[2]);
     std::vector<size_t> const default_widths = {3, 4, 5, 7, 9, 11, 15, 31};
     std::vector<config_t> configs = {
         {"flagship_128_default_s0", 128, default_widths, 0ull},
@@ -85,9 +94,14 @@ int main(void) {
         for (size_t i = 0; i < cfg.widths.size(); ++i) printf("%s%zu", i ? ", " : "", cfg.widths[i]);
         printf("], \"seed\": %llu, \"texts\": [\n", cfg.seed);
         bool first_text = true;
-        for (int li = 0; li < 8; ++li) {
-            int len = lengths[li];
-            sm_state = 0x5EED0F5EED0F5EEDull + (unsigned long long)len;
+        std::vector<int> all_lengths(lengths, lengths + 8);
+        if (g_n_extra) {
+            sm_state = 0xFEED00ull + g_seed_offset;
+            for (int e = 0; e < g_n_extra; ++e) all_lengths.push_back(1 + (int)(sm_next() % 1200));
+        }
+        for (size_t li = 0; li < all_lengths.size(); ++li) {
+            int len = all_lengths[li];
+            sm_state = 0x5EED0F5EED0F5EEDull + g_seed_offset + (unsigned long long)len;
             std::vector<unsigned char> text(len);
             for (int b = 0; b < len; ++b) text[b] = (unsigned char)(sm_next() % 64 + 32);
             std::vector<sz::u32_t> hashes, counts;
