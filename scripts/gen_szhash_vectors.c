@@ -5,6 +5,7 @@
  * into the repo. */
 #include <stdio.h>
 #include <string.h>
+#include <stdlib.h>
 #include <stringzilla/types.h>
 #include <stringzilla/hash.h>
 
@@ -17,19 +18,32 @@ static unsigned long long sm_next(void) {
     return z ^ (z >> 31);
 }
 
-int main(void) {
+/* settable from argv for fresh-corpus differential campaigns
+ * (scripts/fuzz_hash_campaign.py); defaults reproduce the frozen
+ * tests/data/szhash_vectors.json exactly. */
+static unsigned long long g_seed_offset = 0;
+static int g_n_extra = 0;
+
+int main(int argc, char **argv) {
     unsigned char buf[1024];
     unsigned long long seeds[3] = {0ull, 42ull, 0xFEEDFACECAFEBEEFull};
+    if (argc > 1) g_seed_offset = strtoull(argv[1], NULL, 10);
+    if (argc > 2) g_n_extra = atoi(argv[2]);
     /* lengths chosen to cover every ladder branch + chunk boundaries */
-    int lengths[] = {0, 1, 5, 15, 16, 17, 23, 31, 32, 33, 47, 48, 49, 63, 64,
-                     65, 80, 127, 128, 129, 191, 192, 193, 255, 256, 300, 1024};
-    int n_lengths = (int)(sizeof(lengths) / sizeof(lengths[0]));
+    int base_lengths[] = {0, 1, 5, 15, 16, 17, 23, 31, 32, 33, 47, 48, 49, 63, 64,
+                          65, 80, 127, 128, 129, 191, 192, 193, 255, 256, 300, 1024};
+    int lengths[27 + 256];
+    int n_lengths = (int)(sizeof(base_lengths) / sizeof(base_lengths[0]));
+    memcpy(lengths, base_lengths, sizeof(base_lengths));
+    if (g_n_extra > 256) g_n_extra = 256;
+    sm_state = 0xC0FFEEull + g_seed_offset;
+    for (int e = 0; e < g_n_extra; ++e) lengths[n_lengths++] = 1 + (int)(sm_next() % 1024);
 
     printf("{\n  \"hash\": [\n");
     int first = 1;
     for (int li = 0; li < n_lengths; ++li) {
         int len = lengths[li];
-        sm_state = 0x1234567890ABCDEFull + (unsigned long long)len;
+        sm_state = 0x1234567890ABCDEFull + g_seed_offset + (unsigned long long)len;
         for (int b = 0; b < len; ++b) buf[b] = (unsigned char)(sm_next() & 0xFF);
         for (int si = 0; si < 3; ++si) {
             unsigned long long h = sz_hash_serial((sz_cptr_t)buf, (sz_size_t)len, seeds[si]);
@@ -43,7 +57,7 @@ int main(void) {
     for (int li = 0; li < n_lengths; ++li) {
         int len = lengths[li];
         if (len > 64) continue; /* prepared-lane path is <=64; >64 covered via hash */
-        sm_state = 0x1234567890ABCDEFull + (unsigned long long)len;
+        sm_state = 0x1234567890ABCDEFull + g_seed_offset + (unsigned long long)len;
         for (int b = 0; b < len; ++b) buf[b] = (unsigned char)(sm_next() & 0xFF);
         unsigned long long hashes[3];
         sz_hash_multiseed_serial((sz_cptr_t)buf, (sz_size_t)len, seeds, 3, hashes);
@@ -72,7 +86,7 @@ int main(void) {
     int slens[] = {10, 40, 64, 65, 130, 300};
     for (int li = 0; li < 6; ++li) {
         int len = slens[li];
-        sm_state = 0xABCDEF0123456789ull + (unsigned long long)len;
+        sm_state = 0xABCDEF0123456789ull + g_seed_offset + (unsigned long long)len;
         for (int b = 0; b < len; ++b) buf[b] = (unsigned char)(sm_next() & 0xFF);
         int splits[] = {1, 7, 16, 64};
         for (int sp = 0; sp < 4; ++sp) {
