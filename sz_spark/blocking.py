@@ -350,21 +350,16 @@ def shingle_minhash_bands(
 
     sig[k] = min over shingles s of md5(k || '|' || s) (hex string order);
     band j = hash-of-concat of its rows.  All native Spark expressions.
+    Shingling is the shared zip_with construction (textops.word_shingles)
+    — the old transform-lambda form re-evaluated split(text) per element
+    (guide §1.2; measured 8x on sf0.1).
     """
+    from sz_spark.textops import word_shingles
+
     rows_per_band = n_hashes // n_bands
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    # guard: Spark's sequence(1, x) DESCENDS when x < 1 — empty-out instead
-    shingles = F.when(
-        n >= shingle_words,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(shingle_words - 1)),
-            lambda i: F.array_join(F.slice(toks, i, shingle_words), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    d = docs.select(id_col, shingles.alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    d = docs.select(
+        id_col, word_shingles(text_col, shingle_words).alias("shingles")
+    ).filter(F.size("shingles") > 0)
     sig_cols = [
         F.array_min(
             F.transform(

