@@ -217,6 +217,19 @@ def fingerprints_flat(
     if n == 0:
         return hashes, counts
 
+    # Compiled twin first (sz_spark.native): identical f64 Barrett math
+    # in a gcc-vectorized inner loop (~10x this kernel; guide §4.2), the
+    # NumPy strip-mined path below is the reference and the fallback.
+    # Bit-exactness is gated by the pinned compiled-reference vectors
+    # plus the forced native-vs-NumPy differential test.
+    from sz_spark import native as _native
+
+    res = _native.fp_batch_native(
+        data, offsets[:-1], lengths, params, with_counts
+    )
+    if res is not None:
+        return res
+
     # Sort by length so each padded sub-batch wastes little work.
     order = np.argsort(lengths, kind="stable")
     start = 0
