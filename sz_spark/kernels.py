@@ -1002,6 +1002,19 @@ def bounded_lev_flat(
     if not todo.any():
         return out
     idx = np.nonzero(todo)[0]
+    # compiled twin first (sz_spark.native): same banded-DP contract
+    # (exact <= k, clamped k+1 above) computed integer-exactly, so the
+    # outputs are identical; ~10x the NumPy chunks (guide §4.2).  Falls
+    # through to the NumPy path when unavailable or the band needs
+    # int64 cells.
+    from sz_spark import native as _native
+
+    res = _native.lev_bounded_native(
+        da, oa[idx], a_len[idx], db, ob[idx], b_len[idx], k
+    )
+    if res is not None:
+        out[idx] = res
+        return out
     # cache-resident chunks: the DP working set (int16 band arrays +
     # uint8 byte matrices) must fit each worker's PRIVATE cache, or
     # concurrent executors serialize on DRAM bandwidth (measured: the

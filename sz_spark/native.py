@@ -81,6 +81,12 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_int32,
         u32p, u32p,
     ]
+    lib.szlev_bounded_batch.restype = ctypes.c_int64
+    lib.szlev_bounded_batch.argtypes = [
+        u8p, i64p, i64p,
+        u8p, i64p, i64p,
+        ctypes.c_int64, ctypes.c_int64, i64p,
+    ]
     return lib
 
 
@@ -160,3 +166,39 @@ def fp_batch_native(
     out_h[:, perm] = h
     out_c[:, perm] = c
     return out_h, out_c
+
+
+def lev_bounded_native(
+    da: np.ndarray, sa: np.ndarray, la: np.ndarray,
+    db: np.ndarray, sb: np.ndarray, lb: np.ndarray,
+    bound: int,
+) -> np.ndarray | None:
+    """Banded bounded Levenshtein via the C kernel; None if unavailable
+    (no compiler, or the band is too wide for int16 cells).  Same
+    contract as kernels._bounded_lev_chunk: exact distance when <= bound,
+    bound+1 otherwise — integer-exact, so outputs are identical."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(la)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    da = np.ascontiguousarray(da, dtype=np.uint8)
+    db = np.ascontiguousarray(db, dtype=np.uint8)
+    if da.size == 0:
+        da = np.zeros(1, dtype=np.uint8)
+    if db.size == 0:
+        db = np.zeros(1, dtype=np.uint8)
+    rc = lib.szlev_bounded_batch(
+        da,
+        np.ascontiguousarray(sa, dtype=np.int64),
+        np.ascontiguousarray(la, dtype=np.int64),
+        db,
+        np.ascontiguousarray(sb, dtype=np.int64),
+        np.ascontiguousarray(lb, dtype=np.int64),
+        n, int(bound), out,
+    )
+    if rc != 0:
+        return None
+    return out

@@ -356,3 +356,140 @@ void szfp_batch(
         }
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* Banded bounded Levenshtein — the C twin of kernels._bounded_lev_chunk.
+ * Contract (integer-exact, so any correct band DP is bit-identical):
+ * out[i] = exact byte-level edit distance when it is <= k, else k+1.
+ * The caller (kernels.bounded_lev_flat) keeps the feasibility and
+ * equality fast paths; only feasible, non-equal pairs arrive here.
+ *
+ * Layout: pairs are processed in SoA chunks of SZLEV_M lanes; the band
+ * runs serially over slots d (the insertion scan is a d-recurrence)
+ * while every statement is a lane-loop gcc vectorizes (int16 x 32 =
+ * one AVX-512 vector).  a-bytes are pre-transposed with a +k+1 pad so
+ * the byte needed at (row i, slot d) is one contiguous lane vector. */
+
+#include <stdlib.h>
+#include <string.h>
+
+#define SZLEV_M 32
+#define SZLEV_BIG 16000
+
+int64_t szlev_bounded_batch(
+    const uint8_t *da, const int64_t *sa, const int64_t *la,
+    const uint8_t *db, const int64_t *sb, const int64_t *lb,
+    int64_t n_pairs, int64_t k, int64_t *out)
+{
+    const int64_t W = 2 * k + 1;
+    if (W > 4000) return -1; /* int16 cells need k + W + slack < 32767 */
+    for (int64_t c0 = 0; c0 < n_pairs; c0 += SZLEV_M) {
+        const int64_t m = (n_pairs - c0 < SZLEV_M) ? n_pairs - c0 : SZLEV_M;
+        int64_t max_la = 0, max_lb = 0;
+        for (int64_t j = 0; j < m; ++j) {
+            if (la[c0 + j] > max_la) max_la = la[c0 + j];
+            if (lb[c0 + j] > max_lb) max_lb = lb[c0 + j];
+        }
+        /* transposed, padded byte planes.  aT is indexed by i + d with
+         * i <= max_lb and d < W, so size it by max_lb (feasible pairs
+         * keep |la - lb| <= k, but the CHUNK max can differ). */
+        const int64_t arows = ((max_la > max_lb ? max_la : max_lb)) + W + 2;
+        const int64_t brows = max_lb + 1;
+        uint8_t *aT = (uint8_t *)calloc((size_t)(arows > 1 ? arows : 1) * SZLEV_M, 1);
+        uint8_t *bT = (uint8_t *)calloc((size_t)(brows > 1 ? brows : 1) * SZLEV_M, 1);
+        int16_t *cur = (int16_t *)malloc((size_t)W * SZLEV_M * sizeof(int16_t));
+        int16_t *nxt = (int16_t *)malloc((size_t)W * SZLEV_M * sizeof(int16_t));
+        int32_t lav[SZLEV_M]; /* int32: la may exceed the int16 sentinel */
+        if (!aT || !bT || !cur || !nxt) {
+            free(aT); free(bT); free(cur); free(nxt);
+            return -1;
+        }
+        for (int64_t j = 0; j < m; ++j) {
+            const uint8_t *ap = da + sa[c0 + j];
+            for (int64_t p = 0; p < la[c0 + j]; ++p)
+                aT[(p + k + 1) * SZLEV_M + j] = ap[p];
+            const uint8_t *bp = db + sb[c0 + j];
+            for (int64_t p = 0; p < lb[c0 + j]; ++p)
+                bT[p * SZLEV_M + j] = bp[p];
+            lav[j] = (int32_t)((la[c0 + j] < 2000000000) ? la[c0 + j]
+                                                          : 2000000000);
+        }
+        for (int64_t j = m; j < SZLEV_M; ++j) lav[j] = 0;
+        /* row 0: cur[d] = j0 = d - k when 0 <= j0 <= la else BIG */
+        for (int64_t d = 0; d < W; ++d) {
+            const int64_t j0 = d - k;
+            for (int64_t j = 0; j < SZLEV_M; ++j)
+                cur[d * SZLEV_M + j] =
+                    (j0 >= 0 && (int32_t)j0 <= lav[j] && j0 < SZLEV_BIG)
+                        ? (int16_t)j0
+                        : (int16_t)SZLEV_BIG;
+        }
+        /* b-empty pairs never enter the row loop */
+        for (int64_t j = 0; j < m; ++j)
+            if (lb[c0 + j] == 0)
+                out[c0 + j] = (la[c0 + j] < k + 1) ? la[c0 + j] : k + 1;
+        for (int64_t i = 1; i <= max_lb; ++i) {
+            const uint8_t *bch = bT + (i - 1) * SZLEV_M;
+            int16_t eprev[SZLEV_M];
+            for (int64_t j = 0; j < SZLEV_M; ++j) eprev[j] = SZLEV_BIG;
+            for (int64_t d = 0; d < W; ++d) {
+                const int64_t js = i + d - k; /* column index of this slot */
+                int16_t *t_row = nxt + d * SZLEV_M;
+                if (js < 1) {
+                    if (js == 0 && i <= k) {
+                        /* boundary column j == 0 at d = k - i */
+                        for (int64_t j = 0; j < SZLEV_M; ++j) t_row[j] = (int16_t)i;
+                        for (int64_t j = 0; j < SZLEV_M; ++j) {
+                            int16_t e = (int16_t)(eprev[j] + 1);
+                            int16_t t = t_row[j];
+                            e = (t < e) ? t : e;
+                            e = (e < SZLEV_BIG) ? e : SZLEV_BIG;
+                            t_row[j] = e;
+                            eprev[j] = e;
+                        }
+                    } else {
+                        for (int64_t j = 0; j < SZLEV_M; ++j) {
+                            t_row[j] = SZLEV_BIG;
+                            /* eprev unchanged through an all-BIG slot is
+                             * wrong: e-scan must still +1 per slot.  BIG
+                             * saturation keeps it correct: */
+                            int16_t e = (int16_t)(eprev[j] + 1);
+                            e = (e < SZLEV_BIG) ? e : SZLEV_BIG;
+                            eprev[j] = e;
+                        }
+                    }
+                    continue;
+                }
+                const uint8_t *ach = aT + (i + d) * SZLEV_M;
+                const int16_t *c_d = cur + d * SZLEV_M;
+                const int16_t *c_d1 = (d + 1 < W) ? cur + (d + 1) * SZLEV_M : 0;
+                const int32_t jsv = (int32_t)js;
+                for (int64_t j = 0; j < SZLEV_M; ++j) {
+                    int16_t sub = (int16_t)(c_d[j] + (ach[j] != bch[j]));
+                    int16_t del = (int16_t)((c_d1 ? c_d1[j] : SZLEV_BIG) + 1);
+                    int16_t t = (sub < del) ? sub : del;
+                    t = (jsv <= lav[j]) ? t : (int16_t)SZLEV_BIG;
+                    int16_t e = (int16_t)(eprev[j] + 1);
+                    e = (t < e) ? t : e;
+                    e = (e < SZLEV_BIG) ? e : SZLEV_BIG;
+                    t_row[j] = e;
+                    eprev[j] = e;
+                }
+            }
+            int16_t *tmpp = cur; cur = nxt; nxt = tmpp;
+            for (int64_t j = 0; j < m; ++j) {
+                if (lb[c0 + j] == i) {
+                    const int64_t d_final = la[c0 + j] - i + k;
+                    int64_t v = k + 1;
+                    if (d_final >= 0 && d_final < W) {
+                        v = cur[d_final * SZLEV_M + j];
+                        if (v > k) v = k + 1;
+                    }
+                    out[c0 + j] = v;
+                }
+            }
+        }
+        free(aT); free(bT); free(cur); free(nxt);
+    }
+    return 0;
+}

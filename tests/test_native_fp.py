@@ -77,3 +77,70 @@ def test_fallback_when_disabled(monkeypatch):
     assert h.shape == (1, 16)
     # restore for later tests in this process
     monkeypatch.setattr(native, "_tried", False)
+
+
+# ---------------------------------------------------------------------------
+# banded bounded Levenshtein: native twin vs NumPy chunks
+# ---------------------------------------------------------------------------
+
+
+def _rand_pairs(seed: int, n: int, minl: int, maxl: int):
+    rng = np.random.default_rng(seed)
+    A, B = [], []
+    for _ in range(n):
+        la = int(rng.integers(minl, maxl))
+        t = rng.integers(0, 256, size=la, dtype=np.uint8)
+        r = rng.random()
+        if r < 0.4:
+            t2 = t.copy()
+            for _ in range(int(rng.integers(0, 20))):
+                if len(t2) == 0:
+                    break
+                op = int(rng.integers(0, 3))
+                pos = int(rng.integers(0, len(t2)))
+                if op == 0:
+                    t2[pos] = rng.integers(0, 256)
+                elif op == 1:
+                    t2 = np.delete(t2, pos)
+                else:
+                    t2 = np.insert(t2, pos, rng.integers(0, 256))
+            B.append(bytes(t2))
+        elif r < 0.5:
+            B.append(bytes(t))
+        else:
+            B.append(bytes(rng.integers(0, 256, size=int(rng.integers(minl, maxl)), dtype=np.uint8)))
+        A.append(bytes(t))
+    return A, B
+
+
+@pytest.mark.parametrize("minl,maxl,bound", [
+    (0, 120, 1), (0, 120, 5), (0, 120, 16), (0, 120, 41),
+    (200, 900, 16), (200, 900, 41), (200, 900, 120),
+])
+def test_native_lev_matches_numpy(minl, maxl, bound, monkeypatch):
+    A, B = _rand_pairs(seed=minl + maxl + bound, n=800, minl=minl, maxl=maxl)
+    da, oa = K.flat_from_bytes(A)
+    db, ob = K.flat_from_bytes(B)
+    sa, la = oa[:-1], np.diff(oa)
+    sb, lb = ob[:-1], np.diff(ob)
+    r_nat = K.bounded_lev_flat(da, sa, la, db, sb, lb, bound)
+    monkeypatch.setattr(native, "lev_bounded_native", lambda *a, **k: None)
+    r_np = K.bounded_lev_flat(da, sa, la, db, sb, lb, bound)
+    np.testing.assert_array_equal(r_nat, r_np)
+
+
+def test_native_lev_long_rows(monkeypatch):
+    """la beyond the int16 sentinel must not corrupt small distances."""
+    rng = np.random.default_rng(3)
+    big = bytes(rng.integers(0, 256, size=20000, dtype=np.uint8))
+    big2 = bytearray(big)
+    big2[17000] = (big2[17000] + 1) % 256
+    A = [big, big]
+    B = [bytes(big2), big[:19990]]
+    da, oa = K.flat_from_bytes(A)
+    db, ob = K.flat_from_bytes(B)
+    r_nat = K.bounded_lev_flat(da, oa[:-1], np.diff(oa), db, ob[:-1], np.diff(ob), 41)
+    monkeypatch.setattr(native, "lev_bounded_native", lambda *a, **k: None)
+    r_np = K.bounded_lev_flat(da, oa[:-1], np.diff(oa), db, ob[:-1], np.diff(ob), 41)
+    np.testing.assert_array_equal(r_nat, r_np)
+    np.testing.assert_array_equal(r_nat, [1, 10])
