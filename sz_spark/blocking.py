@@ -349,11 +349,100 @@ def shingle_minhash_bands(
     :func:`shingle_minhash_bands_sql`).
 
     sig[k] = min over shingles s of md5(k || '|' || s) (hex string order);
-    band j = hash-of-concat of its rows.  All native Spark expressions.
+    band j = hash-of-concat of its rows.
+
+    Production transport is an Arrow-batched mapInArrow running
+    hashlib's C md5 (guide §4.2): the JVM expression form below
+    (:func:`shingle_minhash_bands_exprs`) evaluates 8 md5s per shingle
+    through interpreted higher-order-function lambdas, and its first
+    executions run before HotSpot has compiled those paths — measured
+    11-13 s cold vs 2.3 s steady-state for dedup_minhash_lsh at sf0.1,
+    with ~2 busy cores and zero steal/GC during the cold runs (pure
+    JIT-warmup wall).  hashlib is compiled C from call one, so the cold
+    and steady costs coincide.  Values are bit-identical (md5 hex is
+    md5 hex; byte order == hex-string order), asserted by
+    tests/test_blocking.py::test_minhash_bands_arrow_vs_exprs.
+    SZ_JVM_MINHASH=1 forces the expression twin.
+    """
+    import os
+
+    if os.environ.get("SZ_JVM_MINHASH") == "1":
+        return shingle_minhash_bands_exprs(
+            docs, text_col, id_col, shingle_words, n_hashes, n_bands
+        )
+    from pyspark.sql import types as T
+
+    src = docs.select(id_col, F.col(text_col).alias("_t"))
+    out_schema = T.StructType(
+        [src.schema[id_col]]
+        + [T.StructField(f"band_{b}", T.StringType(), False) for b in range(n_bands)]
+    )
+    fn = _shingle_band_arrow_fn(shingle_words, n_hashes, n_bands)
+    return src.mapInArrow(fn, out_schema)
+
+
+def _shingle_band_arrow_fn(shingle_words: int, n_hashes: int, n_bands: int):
+    """RecordBatch (id, text) -> (id, band_0..band_{n_bands-1}); rows
+    with no shingles (fewer than ``shingle_words`` tokens) are dropped,
+    matching the expression path's ``size(shingles) > 0`` filter.
+    Digest-bytes are compared instead of hexdigest strings — hex
+    rendering is byte-order-monotone, so the min is the same shingle."""
+    rows_per_band = n_hashes // n_bands
+
+    def fn(batches):
+        import pyarrow as pa
+        from hashlib import md5
+
+        pre = [f"{k}|".encode() for k in range(n_hashes)]
+        kr = range(n_hashes)
+        br = range(n_bands)
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            keep: list[int] = []
+            bands_out: list[list[str]] = [[] for _ in br]
+            for i, t in enumerate(texts):
+                toks = ("" if t is None else t).split(" ")
+                m = len(toks) - shingle_words + 1
+                if m < 1:
+                    continue
+                shingles = [
+                    " ".join(toks[j : j + shingle_words]).encode() for j in range(m)
+                ]
+                mh = [
+                    min(md5(pre[k] + s).digest() for s in shingles).hex() for k in kr
+                ]
+                keep.append(i)
+                for b in br:
+                    bands_out[b].append(
+                        md5(
+                            "|".join(
+                                mh[b * rows_per_band : (b + 1) * rows_per_band]
+                            ).encode()
+                        ).hexdigest()
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(keep, type=pa.int32()))]
+                + [pa.array(c, type=pa.string()) for c in bands_out],
+                [batch.schema.names[0]] + [f"band_{b}" for b in br],
+            )
+
+    return fn
+
+
+def shingle_minhash_bands_exprs(
+    docs: DataFrame,
+    text_col: str = "doc",
+    id_col: str = "conv_id",
+    shingle_words: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """JVM-expression twin of :func:`shingle_minhash_bands` (native
+    Spark expressions end to end; the differential/fallback path).
     Shingling is the shared zip_with construction (textops.word_shingles)
     — the old transform-lambda form re-evaluated split(text) per element
-    (guide §1.2; measured 8x on sf0.1).
-    """
+    (guide §1.2; measured 8x on sf0.1)."""
     from sz_spark.textops import word_shingles
 
     rows_per_band = n_hashes // n_bands
