@@ -304,6 +304,129 @@ def explode_lower_triangle(
     """All unordered element pairs (out[0] < out[1]) from each block's
     array — the in-array replacement for a block self-join.
 
+    Primitive (long/string) element types run through a vectorized
+    Arrow pair emitter (:func:`_triangle_arrow_fn`): NumPy triu index
+    tables gather both pair sides straight from the list column's flat
+    values buffer, so per-pair cost is a compiled gather + compare
+    instead of an interpreted transform/slice/struct lambda per element
+    (guide §4.2; the lambda path also paid the JIT-warmup cliff on
+    every fresh JVM).  Output batches are chunked (<= ~256k pairs) so a
+    near-cap block never materializes O(size^2) rows in one allocation.
+    Struct elements (field-lexicographic ordering) and SZ_JVM_TRIANGLE=1
+    keep the JVM expression twin below."""
+    import os
+
+    elem = blocks.schema[ids_col].dataType.elementType
+    atomic = elem.typeName() in ("long", "integer", "string", "short", "byte")
+    if os.environ.get("SZ_JVM_TRIANGLE") == "1" or not atomic:
+        return explode_lower_triangle_exprs(blocks, ids_col, out)
+    from pyspark.sql import types as T
+
+    src = blocks.select(F.col(ids_col).alias("_ids"))
+    out_schema = T.StructType(
+        [T.StructField(out[0], elem, True), T.StructField(out[1], elem, True)]
+    )
+    return src.mapInArrow(_triangle_arrow_fn(out), out_schema)
+
+
+def _triangle_arrow_fn(out: tuple, max_pairs_per_batch: int = 1 << 18):
+    """RecordBatch (ids list<T>) -> (out0 T, out1 T): every unordered
+    in-list pair, out0 = min, out1 = max — value-identical to the
+    least/greatest of the expression twin (same total order for longs
+    and UTF8 strings)."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        triu_cache: dict[int, tuple] = {}
+
+        def triu(s: int):
+            t = triu_cache.get(s)
+            if t is None:
+                ii, jj = np.triu_indices(s, 1)
+                t = triu_cache[s] = (ii.astype(np.int64), jj.astype(np.int64))
+            return t
+
+        for batch in batches:
+            col = batch.column(0)
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            # flatten() drops the list layer; offsets bound each block
+            # ListArray.offsets respects the logical slice and indexes
+            # into .values (the unsliced child), so absolute takes work
+            offsets = np.asarray(col.offsets, dtype=np.int64)
+            values = col.values
+            starts = offsets[:-1]
+            sizes = np.diff(offsets)
+            emitted_any = False
+            # group blocks by size so each group's pair indices come from
+            # one broadcasted triu table (fully vectorized)
+            order = np.argsort(sizes, kind="stable")
+            pos = 0
+            n_blocks = len(sizes)
+            pend_a: list[np.ndarray] = []
+            pend_b: list[np.ndarray] = []
+            pend = 0
+
+            def flush():
+                nonlocal pend, pend_a, pend_b, emitted_any
+                if not pend:
+                    return None
+                ia = np.concatenate(pend_a)
+                ib = np.concatenate(pend_b)
+                pend_a, pend_b, pend = [], [], 0
+                va = values.take(pa.array(ia))
+                vb = values.take(pa.array(ib))
+                lt = pc.less_equal(va, vb)
+                emitted_any = True
+                return pa.RecordBatch.from_arrays(
+                    [pc.if_else(lt, va, vb), pc.if_else(lt, vb, va)],
+                    [out[0], out[1]],
+                )
+
+            while pos < n_blocks:
+                s = int(sizes[order[pos]])
+                end = pos
+                while end < n_blocks and sizes[order[end]] == s:
+                    end += 1
+                if s >= 2:
+                    ii, jj = triu(s)
+                    npairs = len(ii)
+                    group = starts[order[pos:end]]
+                    # chunk the group so one flush stays bounded
+                    rows_per = max(1, max_pairs_per_batch // max(npairs, 1))
+                    for g0 in range(0, len(group), rows_per):
+                        g = group[g0 : g0 + rows_per]
+                        ia = (g[:, None] + ii[None, :]).ravel()
+                        ib = (g[:, None] + jj[None, :]).ravel()
+                        pend_a.append(ia)
+                        pend_b.append(ib)
+                        pend += len(ia)
+                        if pend >= max_pairs_per_batch:
+                            b = flush()
+                            if b is not None:
+                                yield b
+                pos = end
+            b = flush()
+            if b is not None:
+                yield b
+            if not emitted_any:
+                # mapInArrow tolerates empty output, but keep the stream
+                # well-typed for readers that peek the first batch
+                yield pa.RecordBatch.from_arrays(
+                    [values.slice(0, 0), values.slice(0, 0)], [out[0], out[1]]
+                )
+
+    return fn
+
+
+def explode_lower_triangle_exprs(
+    blocks: DataFrame, ids_col: str = "ids", out: tuple = ("id_a", "id_b")
+) -> DataFrame:
+    """JVM expression twin of :func:`explode_lower_triangle`.
+
     Two CHAINED explodes, not one flattened pair array: peak per-row
     memory stays O(block size) (each generated row carries one element
     plus the slice of later elements), never O(size^2) — a single

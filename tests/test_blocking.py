@@ -62,3 +62,49 @@ def test_minhash_bands_env_switch(spark, monkeypatch):
     out = blocking.shingle_minhash_bands(d, text_col="text")
     # expression path has no MapInArrow node
     assert "MapInArrow" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_triangle_arrow_vs_exprs_longs(spark):
+    import random
+
+    random.seed(7)
+    rows = [
+        ([random.randrange(10**6) for _ in range(random.choice([0, 1, 2, 3, 5, 17, 64]))],)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "ids array<bigint>")
+    got = sorted(map(tuple, blocking.explode_lower_triangle(df).collect()))
+    want = sorted(map(tuple, blocking.explode_lower_triangle_exprs(df).collect()))
+    assert got == want
+
+
+def test_triangle_arrow_vs_exprs_strings(spark):
+    import random
+
+    random.seed(11)
+    rows = [
+        ([f"c{random.randrange(1000)}" for _ in range(random.choice([2, 3, 9]))],)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "ids array<string>")
+    got = sorted(map(tuple, blocking.explode_lower_triangle(df).collect()))
+    want = sorted(map(tuple, blocking.explode_lower_triangle_exprs(df).collect()))
+    assert got == want
+
+
+def test_triangle_struct_elements_use_jvm_path(spark):
+    df = spark.createDataFrame(
+        [([(1, "x"), (2, "y"), (0, "z")],)],
+        "ids array<struct<doc_id:bigint,simhash:string>>",
+    )
+    out = blocking.explode_lower_triangle(df, out=("pa", "pb"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan
+    assert out.count() == 3
+
+
+def test_triangle_chunked_large_block(spark):
+    # one block far above the flush threshold exercises output chunking
+    n = 1500  # ~1.1M pairs > the 256k flush bound
+    df = spark.createDataFrame([(list(range(n)),)], "ids array<bigint>")
+    assert blocking.explode_lower_triangle(df).count() == n * (n - 1) // 2
