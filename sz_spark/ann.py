@@ -33,6 +33,114 @@ def _norm(x):
     )
 
 
+def attach_cosine_arrow(
+    df: DataFrame, a_col: str, b_col: str, out_col: str = "_cos_raw"
+) -> DataFrame:
+    """df + unrounded cosine(a_col, b_col) computed in a mapInArrow batch,
+    BIT-IDENTICAL to the ``_dot/_norm`` expression form: the accumulation
+    loops over dimensions sequentially (``acc += a[:, d] * b[:, d]``),
+    which is exactly the JVM aggregate's left-to-right f64 op order —
+    same products, same addition order, same sqrt/divide — so swapping
+    transports cannot move a value across a rounding boundary.  The
+    caller keeps F.round in the JVM.  The expression path evaluated one
+    interpreted lambda per element per pair (guide §4.2; it also repaid
+    the JIT-warmup cliff per fresh JVM).  Rows whose two lists differ in
+    length or are non-uniform fall back per-batch to an exact per-row
+    loop (same op order); NULL lists yield NULL like the expression
+    form.  Zero-norm/empty inputs yield NULL where the ANSI expression
+    form would raise DIVIDE_BY_ZERO — no corpus contains them, and NULL
+    is the tolerant contract (the threshold/rank consumers drop it)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    if os.environ.get("SZ_JVM_COSINE") == "1":  # expression twin (tests)
+        return df.withColumn(
+            out_col,
+            _dot(F.col(a_col), F.col(b_col))
+            / (_norm(F.col(a_col)) * _norm(F.col(b_col))),
+        ).drop(a_col, b_col)
+    carry = [c for c in df.columns if c not in (a_col, b_col)]
+    src = df.select(*carry, a_col, b_col)
+    out_schema = T.StructType(
+        [src.schema[c] for c in carry] + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def seq_cosine(mat_a, mat_b):
+            n, d = mat_a.shape
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for k in range(d):
+                a = mat_a[:, k]
+                b = mat_b[:, k]
+                dot += a * b
+                na += a * a
+                nb += b * b
+            denom = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / denom
+            return cos, denom == 0.0
+
+        nc = len(carry)
+        for batch in batches:
+            ca = batch.column(nc)
+            cb = batch.column(nc + 1)
+            n = len(ca)
+            oa = np.asarray(ca.offsets, dtype=np.int64)
+            ob = np.asarray(cb.offsets, dtype=np.int64)
+            la, lb = np.diff(oa), np.diff(ob)
+            va = np.asarray(ca.values, dtype=np.float64)
+            vb = np.asarray(cb.values, dtype=np.float64)
+            uniform = (
+                n > 0
+                and ca.null_count == 0
+                and cb.null_count == 0
+                and la.min() == la.max()
+                and (la == lb).all()
+                and la[0] > 0
+            )
+            if uniform:
+                d = int(la[0])
+                cos, bad = seq_cosine(
+                    va[oa[0] : oa[-1]].reshape(n, d), vb[ob[0] : ob[-1]].reshape(n, d)
+                )
+                # Spark's Divide yields NULL on a zero divisor
+                out = pa.array(cos, type=pa.float64(), mask=bad)
+            else:
+                valid_a = np.asarray(ca.is_valid())
+                valid_b = np.asarray(cb.is_valid())
+                vals = []
+                for i in range(n):
+                    # expression-form contract: NULL list, length
+                    # mismatch (zip_with null-pads -> NULL sum) and the
+                    # empty/zero-norm case (Spark Divide by 0 -> NULL)
+                    # all yield NULL
+                    if (
+                        not valid_a[i]
+                        or not valid_b[i]
+                        or la[i] != lb[i]
+                        or la[i] == 0
+                    ):
+                        vals.append(None)
+                        continue
+                    a = va[oa[i] : oa[i] + la[i]]
+                    b = vb[ob[i] : ob[i] + lb[i]]
+                    c, bad = seq_cosine(a.reshape(1, -1), b.reshape(1, -1))
+                    vals.append(None if bad[0] else float(c[0]))
+                out = pa.array(vals, type=pa.float64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(nc)] + [out],
+                list(batch.schema.names[:nc]) + [out_col],
+            )
+
+    return src.mapInArrow(fn, out_schema)
+
+
 def cosine_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
@@ -50,13 +158,12 @@ def cosine_topk(
         F.col("query_id"), F.col("embedding").cast("array<double>").alias("emb_q")
     )
     joined = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    cos = _dot(F.col("emb_c"), F.col("emb_q")) / (
-        _norm(F.col("emb_c")) * _norm(F.col("emb_q"))
-    )
-    scored = joined.select(
+    # cosine math runs Arrow-batched with the expression form's exact f64
+    # op order; rounding stays JVM-side (attach_cosine_arrow docstring)
+    scored = attach_cosine_arrow(joined, "emb_c", "emb_q").select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cos, 6).alias("cosine"),
+        F.round("_cos_raw", 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -217,11 +324,10 @@ def lsh_topk(
             "query_id",
         )
     )
-    cos = _dot(F.col("emb_c"), F.col("emb_q")) / (
-        _norm(F.col("emb_c")) * _norm(F.col("emb_q"))
-    )
-    scored = withv.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cosine")
+    scored = attach_cosine_arrow(withv, "emb_c", "emb_q").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round("_cos_raw", 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -391,22 +391,11 @@ def embedding_near_pairs_lsh(
     ).join(
         e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b")), "id_b"
     )
-    dot = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda p, q: p * q),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-    def norm(c):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(c, lambda p: p * p), F.lit(0.0), lambda acc, v: acc + v
-            )
-        )
-
-    cos = dot / (norm(F.col("emb_a")) * norm(F.col("emb_b")))
+    # Arrow-batched cosine with the expression form's exact f64 op order
+    # (ann.attach_cosine_arrow); the round stays JVM-side
     return (
-        withv.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        ann.attach_cosine_arrow(withv, "emb_a", "emb_b")
+        .select("id_a", "id_b", F.round("_cos_raw", 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

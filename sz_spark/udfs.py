@@ -451,15 +451,27 @@ def byte_histogram_udf(texts: pd.Series) -> pd.Series:
     """96-bin histogram of printable-ASCII bytes (0x20..0x7F), used by the
     counting-filter prune: L1(hist_a, hist_b)/2 is a lower bound on edit
     distance, so pairs whose histogram gap alone exceeds the tau bound
-    never enter the DP."""
+    never enter the DP.
+
+    One flat bincount over (row * 96 + bin) covers the whole batch —
+    the per-row frombuffer/bincount loop it replaces paid Python
+    dispatch per document (guide §4.2)."""
     import numpy as np
 
-    out = []
-    for t in _to_bytes(texts):
-        arr = np.frombuffer(t, dtype=np.uint8)
-        h = np.bincount(arr, minlength=256)[32:128].astype("int32")
-        out.append(h.tolist())
-    return pd.Series(out)
+    bts = _to_bytes(texts)
+    n = len(bts)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    lens = np.fromiter((len(t) for t in bts), dtype=np.int64, count=n)
+    data = np.frombuffer(b"".join(bts), dtype=np.uint8)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    mask = (data >= 32) & (data < 128)
+    h = (
+        np.bincount(rows[mask] * 96 + (data[mask] - 32), minlength=n * 96)
+        .reshape(n, 96)
+        .astype("int32")
+    )
+    return pd.Series(list(h))
 
 
 def make_band_keys_udf(

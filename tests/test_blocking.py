@@ -108,3 +108,64 @@ def test_triangle_chunked_large_block(spark):
     n = 1500  # ~1.1M pairs > the 256k flush bound
     df = spark.createDataFrame([(list(range(n)),)], "ids array<bigint>")
     assert blocking.explode_lower_triangle(df).count() == n * (n - 1) // 2
+
+
+def test_cosine_arrow_vs_exprs(spark, monkeypatch):
+    """attach_cosine_arrow must be BIT-identical to the _dot/_norm
+    expression form (same sequential f64 op order), including the NULL
+    contract for mismatched/empty/NULL lists."""
+    from sz_spark import ann
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (2, [0.5, -0.25, 0.125], [0.5, -0.25, 0.125]),
+        (3, [1e-8, 2e8, -3.5], [7.25, 0.0, 1.0]),
+        (4, [1.0, 2.0], [1.0, 2.0, 3.0]),  # length mismatch -> NULL
+        (5, None, [1.0, 2.0, 3.0]),  # NULL list -> NULL
+    ]
+    df = spark.createDataFrame(rows, "k long, a array<double>, b array<double>")
+    got = {
+        r["k"]: r["_cos_raw"]
+        for r in ann.attach_cosine_arrow(df, "a", "b").collect()
+    }
+    monkeypatch.setenv("SZ_JVM_COSINE", "1")
+    want = {
+        r["k"]: r["_cos_raw"]
+        for r in ann.attach_cosine_arrow(df, "a", "b").collect()
+    }
+    assert got == want  # exact equality, float bits included
+    assert want[4] is None and want[5] is None
+
+
+def test_cosine_arrow_zero_norm_is_null(spark):
+    # the ANSI expression form raises DIVIDE_BY_ZERO here; the Arrow
+    # transport returns NULL (tolerant contract — no corpus hits this)
+    from sz_spark import ann
+
+    df = spark.createDataFrame(
+        [(6, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]), (7, [], [])],
+        "k long, a array<double>, b array<double>",
+    )
+    out = {r["k"]: r["_cos_raw"] for r in ann.attach_cosine_arrow(df, "a", "b").collect()}
+    assert out == {6: None, 7: None}
+
+
+def test_byte_histogram_batch_matches_per_row(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sz_spark.udfs import byte_histogram_udf
+
+    rows = [(1, "hello world!"), (2, ""), (3, "\x01\x7f\x80 abc"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", byte_histogram_udf(F.encode("text", "utf-8")).alias("h")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        t = (text or "").encode()
+        arr = np.frombuffer(t, dtype=np.uint8)
+        ref = np.bincount(arr, minlength=256)[32:128].astype("int32").tolist()
+        assert got[doc_id] == ref
