@@ -66,9 +66,7 @@ def ngram_jaccard_pairs(
     without an exchange to reuse.  ``materialize`` is retained for API
     compatibility and ignored.
     """
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles(text_col, n))).alias("sh")
-    )
+    sh = _distinct_shingles_exploded(docs, text_col, n)
     if max_shingle_freq is not None:
         from pyspark.sql import Window
 
@@ -101,6 +99,65 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _distinct_shingles_exploded(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, sh): each document's DISTINCT word n-gram shingles, one
+    row per shingle — the exploded form ngram_jaccard_pairs consumes.
+
+    Production transport is mapInArrow: Python's str.split/join/set do
+    the per-document work at C speed, where the expression form
+    (word_shingles zip_with chain + array_distinct + explode) evaluated
+    interpreted lambdas per element and re-paid the JIT-warmup cliff in
+    every fresh JVM (measured: dedup_ngram_jaccard 5-9 s cold vs 1.4 s
+    steady at sf0.1).  Output rows are identical (first-occurrence
+    order within a doc is irrelevant to the downstream groupBys).
+    SZ_JVM_SHINGLES=1 forces the expression twin."""
+    import os
+
+    if os.environ.get("SZ_JVM_SHINGLES") == "1":
+        return docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("sh"),
+        )
+    from pyspark.sql import types as T
+
+    src = docs.select("doc_id", F.col(text_col).alias("_t"))
+    out_schema = T.StructType(
+        [src.schema["doc_id"], T.StructField("sh", T.StringType(), False)]
+    )
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_i: list = []
+            out_s: list = []
+            for did, t in zip(ids, texts):
+                toks = ("" if t is None else t).split(" ")
+                m = len(toks) - n + 1
+                if m < 1:
+                    continue
+                seen = set()
+                for j in range(m):
+                    s = " ".join(toks[j : j + n])
+                    if s not in seen:
+                        seen.add(s)
+                        out_i.append(did)
+                        out_s.append(s)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_i, type=batch.schema.types[0]),
+                    pa.array(out_s, type=pa.string()),
+                ],
+                [batch.schema.names[0], "sh"],
+            )
+
+    return src.mapInArrow(fn, out_schema)
 
 
 def ngram_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:

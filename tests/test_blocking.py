@@ -169,3 +169,19 @@ def test_byte_histogram_batch_matches_per_row(spark):
         arr = np.frombuffer(t, dtype=np.uint8)
         ref = np.bincount(arr, minlength=256)[32:128].astype("int32").tolist()
         assert got[doc_id] == ref
+
+
+def test_distinct_shingles_arrow_vs_exprs(spark, monkeypatch):
+    from sz_spark import dedup
+
+    edge = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None), (4, "x y z"), (5, "r r r r r"), (6, "a  b c")],
+        "doc_id long, text string",
+    )
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (edge, d):
+        got = sorted(map(tuple, dedup._distinct_shingles_exploded(df).collect()))
+        monkeypatch.setenv("SZ_JVM_SHINGLES", "1")
+        want = sorted(map(tuple, dedup._distinct_shingles_exploded(df).collect()))
+        monkeypatch.delenv("SZ_JVM_SHINGLES")
+        assert got == want
