@@ -160,9 +160,7 @@ def mode_stages(cores: int, scale_k: int) -> None:
     )
     pairs = stage("pairs", pairs_df)
     attrs = scoring.attach_prune_attrs(pairs, docs, id_col="did")
-    pruned = scoring.length_prune(attrs, cfg.threshold)
-    pruned = scoring.histogram_prune(pruned, cfg.threshold)
-    pruned = stage("prune", pruned.select("id_a", "id_b"))
+    pruned = stage("prune", scoring.prune_pairs_arrow(attrs, cfg.threshold))
     with_texts = scoring.attach_texts(pruned, docs, id_col="did")
     scored = stage(
         "score",

@@ -121,11 +121,8 @@ def run_pipeline(
         # candidates; the doc bytes join only the survivors (measured
         # funnel in scoring.attach_prune_attrs docstring)
         attrs = scoring.attach_prune_attrs(pairs, docs, id_col="did")
-        pruned = scoring.length_prune(attrs, cfg.threshold)
-        pruned = scoring.histogram_prune(pruned, cfg.threshold)
-        with_texts = scoring.attach_texts(
-            pruned.select("id_a", "id_b"), docs, id_col="did"
-        )
+        pruned = scoring.prune_pairs_arrow(attrs, cfg.threshold)
+        with_texts = scoring.attach_texts(pruned, docs, id_col="did")
         out = scoring.score_pairs(
             with_texts, threshold=None, bounded=cfg.threshold
         ).select("id_a", "id_b", "edit_distance", "sim")

@@ -111,6 +111,62 @@ def histogram_prune(pairs_with_hists: DataFrame, threshold: float) -> DataFrame:
     ).drop("hist_a", "hist_b")
 
 
+def prune_pairs_arrow(attrs: DataFrame, threshold: float) -> DataFrame:
+    """Fused length + histogram prune over the prune-attr frame —
+    returns the surviving (id_a, id_b).
+
+    Decision-identical to ``histogram_prune(length_prune(attrs, τ), τ)``:
+    the same comparisons on the same values ((max-min) <= (1-τ)*max and
+    L1(hist)/2 <= (1-τ)*max, both in f64 with the identical int→double
+    widenings), evaluated vectorized in a mapInArrow batch.  The
+    expression form walked two interpreted zip_with/aggregate lambdas
+    over 96 bins per candidate pair — at the probe's 1.46M candidates
+    that was the pipeline's largest remaining interpreted surface
+    (guide §4.2), and it re-paid the JIT-warmup cliff per fresh JVM.
+    SZ_JVM_PRUNE=1 forces the expression twin."""
+    import os
+
+    if os.environ.get("SZ_JVM_PRUNE") == "1":
+        return histogram_prune(length_prune(attrs, threshold), threshold).select(
+            "id_a", "id_b"
+        )
+    from pyspark.sql import types as T
+
+    src = attrs.select("id_a", "id_b", "len_a", "len_b", "hist_a", "hist_b")
+    out_schema = T.StructType([src.schema["id_a"], src.schema["id_b"]])
+    lim = 1.0 - threshold
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            la = np.asarray(batch.column(2), dtype=np.int64)
+            lb = np.asarray(batch.column(3), dtype=np.int64)
+            ha = batch.column(4)
+            hb = batch.column(5)
+            oa = np.asarray(ha.offsets, dtype=np.int64)
+            ob = np.asarray(hb.offsets, dtype=np.int64)
+            A = np.asarray(ha.values)[oa[0] : oa[-1]].reshape(n, -1).astype(np.int64)
+            B = np.asarray(hb.values)[ob[0] : ob[-1]].reshape(n, -1).astype(np.int64)
+            maxlen = np.maximum(la, lb)
+            minlen = np.minimum(la, lb)
+            bound = lim * maxlen  # (1-τ)*max in f64, same as the JVM expr
+            keep = (maxlen - minlen) <= bound
+            l1 = np.abs(A - B).sum(axis=1)
+            keep &= (l1 / 2.0) <= bound
+            idx = pa.array(np.nonzero(keep)[0].astype(np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0).take(idx), batch.column(1).take(idx)],
+                ["id_a", "id_b"],
+            )
+
+    return src.mapInArrow(fn, out_schema)
+
+
 def length_prune(pairs_with_texts: DataFrame, threshold: float) -> DataFrame:
     """Drop pairs whose length gap alone caps similarity below threshold —
     a native-Spark filter that never enters Python."""

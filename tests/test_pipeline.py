@@ -286,3 +286,31 @@ def test_prune_first_scored_flow_parity(spark):
     assert (m.loc[kept, "edit_distance_o"] == m.loc[kept, "edit_distance_n"]).all()
     assert (m.loc[kept, "sim_o"] == m.loc[kept, "sim_n"]).all()
     assert ((m.sim_o < tau) == (m.sim_n < tau)).all()
+
+
+def test_prune_pairs_arrow_matches_expression_twin(spark):
+    """Fused Arrow prune == histogram_prune(length_prune(...)) on the
+    real candidate frame (same comparisons, f64-identical bounds)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sz_spark import blocking, canonicalize as canon, scoring
+    from sz_spark.transcripts import build_transcripts
+
+    docs = canon.canonicalize(
+        build_transcripts(spark, "/root/testdata/sf0.001")
+    ).withColumn("did", F.xxhash64("conv_id"))
+    bands = blocking.minhash_bands(docs, id_col="did", ndim=96, n_bands=24)
+    pairs, _ = blocking.block_pairs(
+        bands, id_col="did", max_block_size=64, salt_up_to=1024
+    )
+    attrs = scoring.attach_prune_attrs(pairs, docs, id_col="did")
+    got = sorted(map(tuple, scoring.prune_pairs_arrow(attrs, 0.94).collect()))
+    os.environ["SZ_JVM_PRUNE"] = "1"
+    try:
+        want = sorted(map(tuple, scoring.prune_pairs_arrow(attrs, 0.94).collect()))
+    finally:
+        del os.environ["SZ_JVM_PRUNE"]
+    assert got == want
+    assert len(got) > 0
