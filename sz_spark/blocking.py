@@ -495,7 +495,15 @@ def shingle_minhash_bands(
         )
     from pyspark.sql import types as T
 
-    src = docs.select(id_col, F.col(text_col).alias("_t"))
+    # Spread the md5 work before entering Python: a small corpus scans as
+    # ONE parquet partition, which would run the whole signature pass on
+    # a single core (guide §2 — the optimizer cannot see Python CPU cost
+    # behind an opaque mapInArrow).  Round-robin 4x-waves, same rationale
+    # as minhash_bands above; the shuffled bytes are just (id, text).
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    src = docs.select(id_col, F.col(text_col).alias("_t")).repartition(
+        4 * parallelism
+    )
     out_schema = T.StructType(
         [src.schema[id_col]]
         + [T.StructField(f"band_{b}", T.StringType(), False) for b in range(n_bands)]
@@ -519,6 +527,15 @@ def _shingle_band_arrow_fn(shingle_words: int, n_hashes: int, n_bands: int):
         pre = [f"{k}|".encode() for k in range(n_hashes)]
         kr = range(n_hashes)
         br = range(n_bands)
+        # Cross-document digest cache, kept for the whole task: corpora
+        # repeat shingles heavily (measured 9.6x at sf0.1), and min over
+        # a document's DISTINCT shingles equals min over all of them, so
+        # each unique shingle's 8 digests are computed once per task
+        # instead of once per occurrence.  Bounded so a pathological
+        # vocabulary cannot grow it without limit (entries past the cap
+        # are computed but not stored).
+        cache: dict[str, tuple] = {}
+        cache_cap = 1 << 20
         for batch in batches:
             ids = batch.column(0)
             texts = batch.column(1).to_pylist()
@@ -529,12 +546,17 @@ def _shingle_band_arrow_fn(shingle_words: int, n_hashes: int, n_bands: int):
                 m = len(toks) - shingle_words + 1
                 if m < 1:
                     continue
-                shingles = [
-                    " ".join(toks[j : j + shingle_words]).encode() for j in range(m)
-                ]
-                mh = [
-                    min(md5(pre[k] + s).digest() for s in shingles).hex() for k in kr
-                ]
+                digs = []
+                for j in range(m):
+                    s = " ".join(toks[j : j + shingle_words])
+                    d = cache.get(s)
+                    if d is None:
+                        sb = s.encode()
+                        d = tuple(md5(pre[k] + sb).digest() for k in kr)
+                        if len(cache) < cache_cap:
+                            cache[s] = d
+                    digs.append(d)
+                mh = [min(d[k] for d in digs).hex() for k in kr]
                 keep.append(i)
                 for b in br:
                     bands_out[b].append(
