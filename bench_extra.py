@@ -159,7 +159,7 @@ def mode_stages(cores: int, scale_k: int) -> None:
         salt_up_to=cfg.salt_up_to,
     )
     pairs = stage("pairs", pairs_df)
-    attrs = scoring.attach_prune_attrs(pairs, docs, id_col="did")
+    attrs = scoring.attach_prune_attrs(pairs, docs, id_col="did", packed=True)
     pruned = stage("prune", scoring.prune_pairs_arrow(attrs, cfg.threshold))
     with_texts = scoring.attach_texts(pruned, docs, id_col="did")
     scored = stage(

@@ -120,7 +120,7 @@ def run_pipeline(
         # only (len, hist) per side (~800 B/pair) and drop ~95% of
         # candidates; the doc bytes join only the survivors (measured
         # funnel in scoring.attach_prune_attrs docstring)
-        attrs = scoring.attach_prune_attrs(pairs, docs, id_col="did")
+        attrs = scoring.attach_prune_attrs(pairs, docs, id_col="did", packed=True)
         pruned = scoring.prune_pairs_arrow(attrs, cfg.threshold)
         with_texts = scoring.attach_texts(pruned, docs, id_col="did")
         out = scoring.score_pairs(

@@ -314,3 +314,29 @@ def test_prune_pairs_arrow_matches_expression_twin(spark):
         del os.environ["SZ_JVM_PRUNE"]
     assert got == want
     assert len(got) > 0
+
+
+def test_prune_packed_matches_array_path(spark):
+    """attach_prune_attrs(packed=True) + prune must make the IDENTICAL
+    keep/drop decisions as the array-histogram path on a real candidate
+    frame: the u16 packing only clamps bins above 65535, which no
+    document here reaches, so the L1 values (and the f64 bound
+    comparisons) are the same numbers."""
+    from pyspark.sql import functions as F
+
+    from sz_spark import blocking, canonicalize as canon, scoring
+    from sz_spark.transcripts import build_transcripts
+
+    docs = canon.canonicalize(
+        build_transcripts(spark, SF_DIR)
+    ).withColumn("did", F.xxhash64("conv_id"))
+    bands = blocking.minhash_bands(docs, id_col="did", ndim=96, n_bands=24)
+    pairs, _ = blocking.block_pairs(
+        bands, id_col="did", max_block_size=64, salt_up_to=1024
+    )
+    arr = scoring.attach_prune_attrs(pairs, docs, id_col="did")
+    pk = scoring.attach_prune_attrs(pairs, docs, id_col="did", packed=True)
+    got_arr = sorted(map(tuple, scoring.prune_pairs_arrow(arr, 0.94).collect()))
+    got_pk = sorted(map(tuple, scoring.prune_pairs_arrow(pk, 0.94).collect()))
+    assert got_arr == got_pk
+    assert len(got_pk) > 0
