@@ -98,15 +98,18 @@ def minhash_bands(
 
     from sz_spark.udfs import make_band_keys_arrow_fn
 
-    # AQE sizes the upstream shuffle by BYTES, so a canonicalized corpus
-    # lands in a handful of partitions and the fingerprint UDF — whose
-    # CPU cost per byte the optimizer cannot see — would run nearly
-    # serial.  Spread docs across the cluster before entering Python.
-    # 4x cores: per-doc fingerprint cost varies with length, so a
-    # single-wave split leaves cores idle behind the longest partition;
-    # four waves of smaller chunks keep the tail short.
+    # Spread docs before entering Python when they arrive
+    # under-partitioned — the fingerprint UDF's CPU cost per byte is
+    # invisible to the optimizer (guide §2/§4).  4x cores when
+    # spreading: per-doc fingerprint cost varies with length, so four
+    # waves of smaller chunks keep the tail short.  When the upstream
+    # (canonicalize's groupBy) already left >= parallelism partitions,
+    # the extra round-robin exchange of the full doc bytes is skipped —
+    # measured as pure overhead at bench scale.
+    from sz_spark.udfs import spread_for_python
+
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(4 * parallelism)
+    docs = spread_for_python(docs, 4 * parallelism)
     # encode JVM-side, then mapInArrow: the worker reads the Arrow binary
     # column's (data, offsets) buffers straight into the flat kernel —
     # no pandas Series, no per-row bytes objects (r4 measured the pandas
@@ -495,14 +498,20 @@ def shingle_minhash_bands(
         )
     from pyspark.sql import types as T
 
-    # Spread the md5 work before entering Python: a small corpus scans as
-    # ONE parquet partition, which would run the whole signature pass on
-    # a single core (guide §2 — the optimizer cannot see Python CPU cost
-    # behind an opaque mapInArrow).  Round-robin 4x-waves, same rationale
-    # as minhash_bands above; the shuffled bytes are just (id, text).
+    # Spread the md5 work before entering Python when the input is
+    # under-partitioned: a small corpus scans as ONE parquet partition,
+    # which would run the whole signature pass on a single core (guide
+    # §2 — the optimizer cannot see Python CPU cost behind an opaque
+    # mapInArrow; measured 1.36 -> 1.00 s on the 5k-doc sf0.1 scan).
+    # When the upstream already spread the docs (e.g. canonicalize's
+    # groupBy leaves one partition per core) the extra round-robin
+    # exchange only costs (measured +0.3 s on the er_* chain), so it is
+    # skipped — the partition probe is plan-time only, no job runs.
+    from sz_spark.udfs import spread_for_python
+
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    src = docs.select(id_col, F.col(text_col).alias("_t")).repartition(
-        4 * parallelism
+    src = spread_for_python(
+        docs.select(id_col, F.col(text_col).alias("_t")), parallelism
     )
     out_schema = T.StructType(
         [src.schema[id_col]]

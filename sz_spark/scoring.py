@@ -286,7 +286,13 @@ def score_pairs(
     # the cluster before entering Python.
     # 4x cores: DP cost per pair is wildly uneven (text length squared /
     # salt family), so four waves of smaller chunks beat one balanced-by-
-    # row-count wave whose longest partition strands the rest of the pool
+    # row-count wave whose longest partition strands the rest of the pool.
+    # This stays UNCONDITIONAL (unlike the band entrances' adaptive
+    # spread): the pair stream arrives hash-partitioned by its JOIN KEY
+    # (id_b), so one hot document's pairs — whose DP cost all scales
+    # with that document's length — cluster into a single partition;
+    # round-robin is the skew cure, not just a fan-out (measured at the
+    # 8-core probe: skipping it cost ~2 s of straggler wall).
     parallelism = pairs_with_texts.sparkSession.sparkContext.defaultParallelism
     pairs_with_texts = pairs_with_texts.repartition(4 * parallelism)
     import os

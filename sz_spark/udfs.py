@@ -173,6 +173,29 @@ def make_sw_udf(substitution=None, gap_open=-1, gap_extend=-1):
 # buffers directly — zero per-row objects, zero copies on ingest.
 
 
+def spread_for_python(df, target_partitions: int):
+    """Round-robin repartition ONLY when ``df`` has fewer partitions
+    than the session's parallelism.
+
+    Opaque Python stages (mapInArrow / pandas UDFs) run on however many
+    partitions the input happens to have, and the optimizer cannot see
+    their per-row CPU cost (guide §2, §4): a small parquet scan arrives
+    as ONE partition and would run the whole kernel single-core.  But
+    when the upstream plan already spread the rows (a groupBy/join
+    leaves spark.sql.shuffle.partitions partitions), the extra exchange
+    only costs — measured +0.3-1 s of pure task/scheduler overhead per
+    query at bench scale.  The partition probe is plan-time only (no
+    job runs)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_in = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — never fail the query path
+        n_in = 0
+    if n_in < par:
+        return df.repartition(target_partitions)
+    return df
+
+
 def arrow_binary_flat(arr) -> tuple:
     """Zero-copy (data uint8[], offsets int64[n+1]) view of an Arrow
     binary/string array — the layout kernels.*_flat ingest natively.
