@@ -75,7 +75,13 @@ def ngram_jaccard_pairs(
             F.col("f") <= max_shingle_freq
         )
     else:
-        capped = sh
+        # Both consumers (per-doc sizes, per-shingle blocks) read this
+        # subtree; without the cap's window there is no shared exchange,
+        # so Catalyst would evaluate the shingle MapInArrow TWICE (once
+        # per branch).  Hash-partition on sh — the exchange the blocks
+        # groupBy needs anyway — so the second consumer reads a
+        # ReusedExchange instead of recomputing the Python pass.
+        capped = sh.repartition("sh")
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     blocks = (
         capped.groupBy("sh")
