@@ -26,7 +26,11 @@ static int g_n_extra = 0;
 
 int main(int argc, char **argv) {
     unsigned char buf[1024];
-    unsigned long long seeds[3] = {0ull, 42ull, 0xFEEDFACECAFEBEEFull};
+    /* sz_u64_t (unsigned long on LP64) so the pointer passed to
+     * sz_hash_multiseed_serial matches the reference API exactly —
+     * `unsigned long long[]` compiled but tripped
+     * -Wincompatible-pointer-types and would fail under -Werror. */
+    sz_u64_t seeds[3] = {0ull, 42ull, 0xFEEDFACECAFEBEEFull};
     if (argc > 1) g_seed_offset = strtoull(argv[1], NULL, 10);
     if (argc > 2) g_n_extra = atoi(argv[2]);
     /* lengths chosen to cover every ladder branch + chunk boundaries */
@@ -49,7 +53,8 @@ int main(int argc, char **argv) {
             unsigned long long h = sz_hash_serial((sz_cptr_t)buf, (sz_size_t)len, seeds[si]);
             if (!first) printf(",\n");
             first = 0;
-            printf("    {\"len\": %d, \"seed\": %llu, \"hash\": %llu}", len, seeds[si], h);
+            printf("    {\"len\": %d, \"seed\": %llu, \"hash\": %llu}", len,
+                   (unsigned long long)seeds[si], h);
         }
     }
     printf("\n  ],\n  \"multiseed\": [\n");
@@ -59,11 +64,13 @@ int main(int argc, char **argv) {
         if (len > 64) continue; /* prepared-lane path is <=64; >64 covered via hash */
         sm_state = 0x1234567890ABCDEFull + g_seed_offset + (unsigned long long)len;
         for (int b = 0; b < len; ++b) buf[b] = (unsigned char)(sm_next() & 0xFF);
-        unsigned long long hashes[3];
+        sz_u64_t hashes[3];
         sz_hash_multiseed_serial((sz_cptr_t)buf, (sz_size_t)len, seeds, 3, hashes);
         if (!first) printf(",\n");
         first = 0;
-        printf("    {\"len\": %d, \"hashes\": [%llu, %llu, %llu]}", len, hashes[0], hashes[1], hashes[2]);
+        printf("    {\"len\": %d, \"hashes\": [%llu, %llu, %llu]}", len,
+               (unsigned long long)hashes[0], (unsigned long long)hashes[1],
+               (unsigned long long)hashes[2]);
     }
     printf("\n  ],\n  \"fill_random\": [\n");
     first = 1;

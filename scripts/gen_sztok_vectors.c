@@ -63,10 +63,18 @@ int main(void) {
     int first = 1;
     printf("{\n  \"cases\": [\n");
     while (fgets(line, sizeof(line), stdin)) {
+        /* A line longer than the buffer is split by fgets and would
+         * parse as bogus extra cases; skip its continuation chunks. */
+        if (!strchr(line, '\n')) {
+            int c;
+            while ((c = getchar()) != EOF && c != '\n') {}
+            continue;
+        }
         int len = 0;
         for (char const *p = line; p[0] && p[0] != '\n' && p[1] && p[1] != '\n'; p += 2) {
             int hi = hex_val(p[0]), lo = hex_val(p[1]);
             if (hi < 0 || lo < 0) break;
+            if (len >= MAX_BYTES) break; /* bound text[] against oversized input */
             text[len++] = (unsigned char)((hi << 4) | lo);
         }
         if (!first) printf(",\n");

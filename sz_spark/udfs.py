@@ -434,7 +434,12 @@ def make_sz_hash_exact_udf(seed: int = 0):
     Use this when porting STORED sz-hash values; the interchangeable-PRF
     xxhash64 path (hash_multiseed_xxhash) stays the default for
     blocking/dedup where only PRF quality matters, since it never leaves
-    the JVM."""
+    the JVM.
+
+    NULL convention: NULL inputs hash as the empty string (both map to
+    hash(b"") via the batch's None -> b"" coercion), NOT to NULL.  When
+    porting stored values whose source kept NULLs, mask first:
+    ``F.when(col.isNotNull(), sz_hash_exact(col))``."""
     from sz_spark.szhash import sz_hash_batch
 
     @pandas_udf(T.LongType())
