@@ -142,9 +142,9 @@ def mode_stages(cores: int, scale_k: int) -> None:
         "canonicalize",
         canon.canonicalize(transcripts).withColumn("did", F.xxhash64("conv_id")),
     )
-    bands = stage(
-        "bands",
-        blocking.minhash_bands(
+    feats = stage(
+        "doc_features",
+        blocking.doc_features(
             docs,
             id_col="did",
             ndim=cfg.ndim,
@@ -154,12 +154,15 @@ def mode_stages(cores: int, scale_k: int) -> None:
             rows_per_band=cfg.rows_per_band,
         ),
     )
+    bands = blocking.bands_from_features(feats, docs, id_col="did")
     pairs_df, _sup = blocking.block_pairs(
         bands, id_col="did", max_block_size=cfg.max_block_size,
         salt_up_to=cfg.salt_up_to,
     )
     pairs = stage("pairs", pairs_df)
-    attrs = scoring.attach_prune_attrs(pairs, docs, id_col="did", packed=True)
+    attrs = scoring.attach_prune_attrs(
+        pairs, docs, id_col="did", attrs_frame=feats.select("did", "len", "hist")
+    )
     pruned = stage("prune", scoring.prune_pairs_arrow(attrs, cfg.threshold))
     with_texts = scoring.attach_texts(pruned, docs, id_col="did")
     scored = stage(

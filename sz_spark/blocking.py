@@ -160,6 +160,81 @@ def minhash_bands(
     return bands
 
 
+def doc_features(
+    docs: DataFrame,
+    text_col: str = "doc",
+    id_col: str = "conv_id",
+    ndim: int = DEFAULT_NDIM,
+    widths=DEFAULT_FP_WIDTHS,
+    seed: int = 0,
+    n_bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS,
+) -> DataFrame:
+    """docs -> (id, len, bk array<long>, hist binary): the fused
+    per-document feature table — LSH band keys (minhash_bands math) AND
+    the packed prune histogram (scoring._prune_attrs_packed bytes) from
+    ONE pass over the doc bytes.
+
+    The pipeline materializes this narrow frame once and derives both
+    the band explosion (:func:`bands_from_features`) and the prune
+    attributes from it, so the corpus text crosses the JVM->Python
+    boundary a single time (guide §4.1) and the checkpoint stores ~25
+    longs + 192 B per document instead of the 3.3M-row exploded band
+    table."""
+    from pyspark.sql import types as T
+
+    from sz_spark.udfs import make_doc_features_arrow_fn, spread_for_python
+
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    src = spread_for_python(
+        docs.select(
+            F.col(id_col),
+            F.length(F.col(text_col)).alias("len"),
+            F.encode(F.col(text_col), "utf-8").alias("_t"),
+        ),
+        4 * parallelism,
+    )
+    fn = make_doc_features_arrow_fn(
+        ndim=ndim, widths=widths, seed=seed, n_bands=n_bands,
+        rows_per_band=rows_per_band,
+    )
+    out_schema = T.StructType(
+        [
+            src.schema[id_col],
+            src.schema["len"],
+            T.StructField("bk", T.ArrayType(T.LongType()), False),
+            T.StructField("hist", T.BinaryType(), False),
+        ]
+    )
+    return src.mapInArrow(fn, out_schema)
+
+
+def bands_from_features(
+    feats: DataFrame,
+    docs: DataFrame,
+    text_col: str = "doc",
+    id_col: str = "conv_id",
+    prefix_len: int = 56,
+) -> DataFrame:
+    """(id, band_id, band_hash) derived from a :func:`doc_features`
+    frame — the same rows minhash_bands emits (posexplode of the band
+    keys + the layered prefix key, which stays a JVM-side xxhash64 over
+    the doc text; see minhash_bands for the prefix rationale)."""
+    bands = feats.select(
+        id_col, F.posexplode("bk").alias("band_id", "band_hash")
+    )
+    if prefix_len > 0:
+        prefix = docs.select(
+            F.col(id_col),
+            F.lit(-1).alias("band_id"),
+            F.xxhash64(F.substring(F.col(text_col), 1, prefix_len)).alias(
+                "band_hash"
+            ),
+        )
+        bands = bands.unionByName(prefix)
+    return bands
+
+
 def cap_blocks(
     bands: DataFrame,
     max_block_size: int = 64,

@@ -95,8 +95,13 @@ def run_pipeline(
                 "or a salted surrogate"
             )
 
-    def _bands():
-        return blocking.minhash_bands(
+    # Fused per-document features: band keys + prune len/histogram from
+    # ONE Python pass over the corpus (blocking.doc_features) — the
+    # text used to cross the JVM->Python boundary twice (fingerprint
+    # bands, then prune histograms), and the checkpoint now stores the
+    # narrow 133k-row feature table instead of the exploded band table.
+    def _feats():
+        return blocking.doc_features(
             docs,
             id_col="did",
             ndim=cfg.ndim,
@@ -106,7 +111,8 @@ def run_pipeline(
             rows_per_band=cfg.rows_per_band,
         )
 
-    bands = ckpt.stage("bands", _bands)
+    feats = ckpt.stage("doc_features", _feats)
+    bands = blocking.bands_from_features(feats, docs, id_col="did")
     pairs_df, suppressed = blocking.block_pairs(
         bands, id_col="did", max_block_size=cfg.max_block_size,
         salt_up_to=cfg.salt_up_to,
@@ -120,7 +126,10 @@ def run_pipeline(
         # only (len, hist) per side (~800 B/pair) and drop ~95% of
         # candidates; the doc bytes join only the survivors (measured
         # funnel in scoring.attach_prune_attrs docstring)
-        attrs = scoring.attach_prune_attrs(pairs, docs, id_col="did", packed=True)
+        attrs = scoring.attach_prune_attrs(
+            pairs, docs, id_col="did",
+            attrs_frame=feats.select("did", "len", "hist"),
+        )
         pruned = scoring.prune_pairs_arrow(attrs, cfg.threshold)
         with_texts = scoring.attach_texts(pruned, docs, id_col="did")
         out = scoring.score_pairs(

@@ -68,6 +68,7 @@ def attach_prune_attrs(
     id_col: str = "conv_id",
     text_col: str = "doc",
     packed: bool = False,
+    attrs_frame: DataFrame | None = None,
 ) -> DataFrame:
     """pairs(id_a, id_b) ⋈ docs -> + (len_a, len_b, hist_a, hist_b):
     the prune-only attributes, WITHOUT the texts.
@@ -90,16 +91,29 @@ def attach_prune_attrs(
     contraction, so the clamped L1 stays a valid edit-distance lower
     bound for any document size; bins only saturate on documents where
     one byte value repeats > 65535 times (>= 64 KB docs), where the
-    prune merely weakens, never misprunes."""
-    slim = (
-        _prune_attrs_packed(docs, id_col, text_col)
-        if packed
-        else docs.select(
+    prune merely weakens, never misprunes.
+
+    ``attrs_frame``: an optional precomputed (id, len, hist) frame —
+    e.g. ``blocking.doc_features`` sliced to those columns — used
+    instead of recomputing the histograms from the doc texts (the
+    fused-feature path: one Python pass over the corpus serves both
+    blocking and pruning).
+    """
+    if attrs_frame is not None:
+        cols = attrs_frame.columns
+        slim = attrs_frame.select(
+            F.col(cols[0]).alias("_id"),
+            F.col(cols[1]).alias("_len"),
+            F.col(cols[2]).alias("_hist"),
+        )
+    elif packed:
+        slim = _prune_attrs_packed(docs, id_col, text_col)
+    else:
+        slim = docs.select(
             F.col(id_col).alias("_id"),
             F.length(text_col).alias("_len"),
             byte_histogram_udf(F.encode(F.col(text_col), "utf-8")).alias("_hist"),
         )
-    )
     return (
         pairs.join(slim.withColumnRenamed("_id", "id_a"), "id_a")
         .withColumnRenamed("_len", "len_a")

@@ -272,6 +272,81 @@ def make_band_keys_arrow_fn(
     return fn
 
 
+def make_doc_features_arrow_fn(
+    ndim: int = 128,
+    widths=None,
+    seed: int = 0,
+    n_bands: int = 32,
+    rows_per_band: int = 4,
+):
+    """Fused per-document feature kernel: RecordBatch (id, len, text
+    binary) -> (id, len, bk array<long>, hist binary).
+
+    One pass over the doc bytes computes BOTH the LSH band keys
+    (identical math to make_band_keys_arrow_fn) and the packed 96-bin
+    u16 histogram the candidate prune consumes (identical bytes to
+    scoring._prune_attrs_packed) — the corpus crosses the JVM->Python
+    boundary once instead of twice, and the pipeline materializes one
+    narrow feature table instead of feeding two separate Python stages
+    (guide §4.1: pass whole batches once, derive everything needed).
+    ``len`` is computed JVM-side (F.length, characters) and carried
+    through so downstream length semantics match the unfused path
+    exactly."""
+    assert n_bands * rows_per_band <= ndim
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            lens_col = batch.column(1)
+            n = batch.num_rows
+            if n == 0:
+                continue
+            data, off = arrow_binary_flat(batch.column(2))
+            # band keys (fingerprint + splitmix combine)
+            h, _c = K.fingerprints_flat(
+                data, off, ndim=ndim, widths=widths, seed=seed, with_counts=False
+            )
+            out = np.empty((n, n_bands), dtype=np.uint64)
+            for b in range(n_bands):
+                acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+                for r in range(rows_per_band):
+                    acc = K.splitmix64(
+                        acc ^ h[:, b * rows_per_band + r].astype(np.uint64)
+                    )
+                out[:, b] = acc
+            lst = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * n_bands, n_bands, dtype=np.int32),
+                    type=pa.int32(),
+                ),
+                pa.array(out.astype(np.int64).reshape(-1), type=pa.int64()),
+            )
+            # packed u16 histogram (same bytes as _prune_attrs_packed)
+            dslice = data[off[0] : off[-1]]
+            blens = np.diff(off)
+            rows = np.repeat(np.arange(n, dtype=np.int64), blens)
+            mask = (dslice >= 32) & (dslice < 128)
+            hcnt = np.bincount(
+                rows[mask] * 96 + (dslice[mask].astype(np.int64) - 32),
+                minlength=n * 96,
+            ).reshape(n, 96)
+            h16 = np.minimum(hcnt, 65535).astype("<u2")
+            offs = np.arange(0, (n + 1) * 192, 192, dtype=np.int32)
+            hist = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(h16.tobytes())],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, lens_col, lst, hist],
+                [batch.schema.names[0], batch.schema.names[1], "bk", "hist"],
+            )
+
+    return fn
+
+
 def make_fingerprint_arrow_fn(ndim: int = 128, widths=None, seed: int = 0):
     """mapInArrow twin of make_fingerprint_udf: RecordBatch (id, text
     binary) -> (id, hashes array<long>, counts array<long>), via the

@@ -185,3 +185,36 @@ def test_distinct_shingles_arrow_vs_exprs(spark, monkeypatch):
         want = sorted(map(tuple, dedup._distinct_shingles_exploded(df).collect()))
         monkeypatch.delenv("SZ_JVM_SHINGLES")
         assert got == want
+
+
+def test_doc_features_matches_unfused_paths(spark):
+    """blocking.doc_features must reproduce BOTH unfused outputs
+    exactly: bands_from_features == minhash_bands (same rows), and the
+    (len, hist) columns == scoring._prune_attrs_packed bytes."""
+    from pyspark.sql import functions as F
+
+    from sz_spark import blocking, canonicalize as canon, scoring
+    from sz_spark.transcripts import build_transcripts
+
+    docs = canon.canonicalize(
+        build_transcripts(spark, "/root/testdata/sf0.001")
+    ).withColumn("did", F.xxhash64("conv_id"))
+    feats = blocking.doc_features(
+        docs, id_col="did", ndim=96, n_bands=24
+    )
+    got_bands = sorted(
+        map(tuple, blocking.bands_from_features(feats, docs, id_col="did").collect())
+    )
+    want_bands = sorted(
+        map(tuple, blocking.minhash_bands(docs, id_col="did", ndim=96, n_bands=24).collect())
+    )
+    assert got_bands == want_bands
+
+    got_attrs = sorted(
+        map(tuple, feats.select("did", "len", "hist").collect())
+    )
+    want_attrs = sorted(
+        map(tuple, scoring._prune_attrs_packed(docs, "did", "doc").collect())
+    )
+    assert got_attrs == want_attrs
+    assert len(got_attrs) > 0

@@ -139,7 +139,7 @@ def test_resume_identical(spark, tmp_path):
     # lineage metrics exist per stage
     metrics = r2["clusters"].sparkSession.read.parquet(os.path.join(ck, "_metrics"))
     stages_logged = {r["stage"] for r in metrics.select("stage").distinct().collect()}
-    assert {"canonical_docs", "bands", "pairs", "scored"} <= stages_logged
+    assert {"canonical_docs", "doc_features", "pairs", "scored"} <= stages_logged
 
 
 def test_surrogate_collision_guard(spark, monkeypatch):
