@@ -122,19 +122,54 @@ def run_pipeline(
     id_map = docs.select("did", "conv_id")
 
     def _scored():
-        # prune BEFORE attaching texts: the length/histogram prunes need
-        # only (len, hist) per side (~800 B/pair) and drop ~95% of
-        # candidates; the doc bytes join only the survivors (measured
-        # funnel in scoring.attach_prune_attrs docstring)
-        attrs = scoring.attach_prune_attrs(
-            pairs, docs, id_col="did",
-            attrs_frame=feats.select("did", "len", "hist"),
-        )
-        pruned = scoring.prune_pairs_arrow(attrs, cfg.threshold)
-        with_texts = scoring.attach_texts(pruned, docs, id_col="did")
-        out = scoring.score_pairs(
-            with_texts, threshold=None, bounded=cfg.threshold
-        ).select("id_a", "id_b", "edit_distance", "sim")
+        # Two-tier prune+score (scoring.py "Gathered" block): when the
+        # corpus passes the broadcast gates, per-doc attributes and
+        # texts ship ONCE per worker and the candidate stream stays
+        # (id_a, id_b) — no attribute/text joins, no per-pair histogram
+        # transport.  Beyond the gates (or SZ_NO_GATHER=1) the
+        # join-based path runs unchanged; both tiers make identical
+        # τ-decisions (tests/test_pipeline.py gather-parity tests).
+        if scoring.gather_gate(feats):
+            prune_bc = scoring.build_prune_broadcast(
+                feats.select("did", "len", "hist")
+            )
+            pruned = scoring.prune_pairs_gathered(
+                pairs, prune_bc, cfg.threshold
+            )
+            import os as _os
+
+            if _os.environ.get("SZ_TEXT_GATHER") == "1":
+                # Full-gather twin: also broadcast the text blob and
+                # score join-free.  Measured a wash at the probe (the
+                # ~2 s driver collect+broadcast of the 89 MB corpus
+                # cancels the ~0.6 s survivor text joins + transport it
+                # removes), so the default scores the (tiny) survivor
+                # set through attach_texts; the tier stays for corpora
+                # whose survivor count is large relative to their text
+                # bytes.
+                text_bc = scoring.build_text_broadcast(docs, id_col="did")
+                out = scoring.score_pairs_gathered(
+                    pruned, text_bc, bounded=cfg.threshold
+                ).select("id_a", "id_b", "edit_distance", "sim")
+            else:
+                with_texts = scoring.attach_texts(pruned, docs, id_col="did")
+                out = scoring.score_pairs(
+                    with_texts, threshold=None, bounded=cfg.threshold
+                ).select("id_a", "id_b", "edit_distance", "sim")
+        else:
+            # prune BEFORE attaching texts: the length/histogram prunes
+            # need only (len, hist) per side (~800 B/pair) and drop ~95%
+            # of candidates; the doc bytes join only the survivors
+            # (measured funnel in scoring.attach_prune_attrs docstring)
+            attrs = scoring.attach_prune_attrs(
+                pairs, docs, id_col="did",
+                attrs_frame=feats.select("did", "len", "hist"),
+            )
+            pruned = scoring.prune_pairs_arrow(attrs, cfg.threshold)
+            with_texts = scoring.attach_texts(pruned, docs, id_col="did")
+            out = scoring.score_pairs(
+                with_texts, threshold=None, bounded=cfg.threshold
+            ).select("id_a", "id_b", "edit_distance", "sim")
         # map surrogates back to conv_ids on the (small) scored output
         return (
             out.join(id_map.withColumnRenamed("did", "id_a"), "id_a")

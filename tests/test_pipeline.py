@@ -340,3 +340,132 @@ def test_prune_packed_matches_array_path(spark):
     got_pk = sorted(map(tuple, scoring.prune_pairs_arrow(pk, 0.94).collect()))
     assert got_arr == got_pk
     assert len(got_pk) > 0
+
+
+def _gather_fixture(spark):
+    """docs / feats / capped candidate pairs at SF_DIR — the inputs the
+    gathered prune/score tier consumes."""
+    from pyspark.sql import functions as F
+
+    from sz_spark import blocking, canonicalize as canon
+    from sz_spark.pipeline import PipelineConfig
+    from sz_spark.transcripts import build_transcripts
+
+    cfg = PipelineConfig()
+    docs = canon.canonicalize(
+        build_transcripts(spark, SF_DIR)
+    ).withColumn("did", F.xxhash64("conv_id"))
+    feats = blocking.doc_features(
+        docs, id_col="did", ndim=cfg.ndim, widths=cfg.fp_widths,
+        seed=cfg.seed, n_bands=cfg.n_bands, rows_per_band=cfg.rows_per_band,
+    )
+    bands = blocking.bands_from_features(feats, docs, id_col="did")
+    pairs, _ = blocking.block_pairs(
+        bands, id_col="did", max_block_size=cfg.max_block_size,
+        salt_up_to=cfg.salt_up_to,
+    )
+    return cfg, docs, feats, pairs
+
+
+def test_gathered_prune_matches_join_path(spark):
+    """prune_pairs_gathered (broadcast doc-feature gather) must keep the
+    IDENTICAL pair set as the join-based prune_pairs_arrow — same f64
+    comparisons on the same len/hist values — and must drop pairs whose
+    id is missing from the feature table, matching the inner joins."""
+    from pyspark.sql import functions as F
+
+    from sz_spark import scoring
+
+    cfg, docs, feats, pairs = _gather_fixture(spark)
+    # inject a pair with an id absent from feats: the join path drops it
+    # (inner join); the gathered path must too (found-mask)
+    bogus = spark.createDataFrame(
+        [(int(-(1 << 60)), int(1 << 60))], "id_a long, id_b long"
+    )
+    pairs = pairs.unionByName(bogus)
+    attrs = scoring.attach_prune_attrs(
+        pairs, docs, id_col="did", attrs_frame=feats.select("did", "len", "hist")
+    )
+    want = sorted(
+        map(tuple, scoring.prune_pairs_arrow(attrs, cfg.threshold).collect())
+    )
+    bc = scoring.build_prune_broadcast(feats.select("did", "len", "hist"))
+    got = sorted(
+        map(tuple, scoring.prune_pairs_gathered(pairs, bc, cfg.threshold).collect())
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_gathered_score_matches_join_path(spark):
+    """score_pairs_gathered (broadcast text-blob gather) vs the
+    attach_texts + score_pairs join path on the real pruned pair set:
+    kept (>= tau) pairs must agree exactly on edit_distance and sim;
+    sub-tau pairs may clamp differently (chunk composition) but must
+    land on the same side of tau."""
+    from sz_spark import scoring
+
+    cfg, docs, feats, pairs = _gather_fixture(spark)
+    tau = cfg.threshold
+    bc = scoring.build_prune_broadcast(feats.select("did", "len", "hist"))
+    pruned = scoring.prune_pairs_gathered(pairs, bc, tau)
+    wt = scoring.attach_texts(pruned, docs, id_col="did")
+    old = (
+        scoring.score_pairs(wt, threshold=None, bounded=tau)
+        .select("id_a", "id_b", "edit_distance", "sim")
+        .toPandas()
+    )
+    tbc = scoring.build_text_broadcast(docs, id_col="did")
+    new = (
+        scoring.score_pairs_gathered(pruned, tbc, bounded=tau)
+        .select("id_a", "id_b", "edit_distance", "sim")
+        .toPandas()
+    )
+    m = old.merge(new, on=["id_a", "id_b"], suffixes=("_o", "_n"))
+    assert len(m) == len(old) == len(new) > 0
+    kept = (m.sim_o >= tau) | (m.sim_n >= tau)
+    assert kept.any()
+    assert (m.loc[kept, "edit_distance_o"] == m.loc[kept, "edit_distance_n"]).all()
+    assert (m.loc[kept, "sim_o"] == m.loc[kept, "sim_n"]).all()
+    assert ((m.sim_o < tau) == (m.sim_n < tau)).all()
+
+
+def test_pipeline_gather_tiers_identical(spark):
+    """run_pipeline with the gathered tier (default at this corpus
+    size), the full-gather twin (SZ_TEXT_GATHER=1), and the join tier
+    (SZ_NO_GATHER=1) must produce identical clusters and identical kept
+    scored pairs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sz_spark.pipeline import PipelineConfig, run_pipeline
+    from sz_spark.transcripts import build_transcripts
+
+    cfg = PipelineConfig()
+    outs = {}
+    for label, env in (
+        ("gather", {}),
+        ("textgather", {"SZ_TEXT_GATHER": "1"}),
+        ("join", {"SZ_NO_GATHER": "1"}),
+    ):
+        for k, v in env.items():
+            os.environ[k] = v
+        try:
+            tr = build_transcripts(spark, SF_DIR)
+            stages = run_pipeline(spark, tr, cfg)
+            kept = (
+                stages["scored"]
+                .filter(F.col("sim") >= cfg.threshold)
+                .select("id_a", "id_b", "edit_distance", "sim")
+            )
+            outs[label] = (
+                sorted(map(tuple, kept.collect())),
+                sorted(map(tuple, stages["clusters"].collect())),
+            )
+        finally:
+            for k in env:
+                del os.environ[k]
+    assert outs["gather"][0] == outs["join"][0] == outs["textgather"][0]
+    assert outs["gather"][1] == outs["join"][1] == outs["textgather"][1]
+    assert len(outs["gather"][0]) > 0
