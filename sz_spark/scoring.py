@@ -453,8 +453,7 @@ def score_pairs_gathered(
 
     from sz_spark import kernels as K
 
-    parallelism = pairs.sparkSession.sparkContext.defaultParallelism
-    src = pairs.select("id_a", "id_b").repartition(4 * parallelism)
+    src = pairs.select("id_a", "id_b").repartition(scoring_fanout(pairs))
     out_schema = T.StructType(
         [
             src.schema["id_a"],
@@ -526,6 +525,28 @@ def length_prune(pairs_with_texts: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def scoring_fanout(df: DataFrame) -> int:
+    """Round-robin width for the DP scoring stage.
+
+    The wave policy lives in the SESSION's shuffle-partition sizing
+    (bench probes run 4x-cores shuffles precisely so uneven DP cost
+    rides out in waves); re-fanning WIDER than both the session
+    parallelism and the upstream width only multiplies Python task
+    overhead (measured: 128 tasks for a 4.5k-pair frame at local[32]
+    cost 1.8-9 s vs 0.75 s at the upstream's 32).  Under-partitioned
+    inputs (a bare scan) still spread to 4x cores, matching
+    udfs.spread_for_python — the optimizer cannot see Python CPU cost.
+    The partition probe is plan-time only; no job runs."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_in = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — never fail the query path
+        n_in = 0
+    if n_in < par:
+        return 4 * par
+    return min(4 * par, n_in)
+
+
 def score_pairs(
     pairs_with_texts: DataFrame,
     threshold: float | None = None,
@@ -548,17 +569,19 @@ def score_pairs(
     # partitions, which would serialize the pandas-UDF DP — its CPU cost
     # is invisible to the optimizer.  Spread the batch explicitly across
     # the cluster before entering Python.
-    # 4x cores: DP cost per pair is wildly uneven (text length squared /
-    # salt family), so four waves of smaller chunks beat one balanced-by-
-    # row-count wave whose longest partition strands the rest of the pool.
-    # This stays UNCONDITIONAL (unlike the band entrances' adaptive
-    # spread): the pair stream arrives hash-partitioned by its JOIN KEY
-    # (id_b), so one hot document's pairs — whose DP cost all scales
-    # with that document's length — cluster into a single partition;
-    # round-robin is the skew cure, not just a fan-out (measured at the
-    # 8-core probe: skipping it cost ~2 s of straggler wall).
-    parallelism = pairs_with_texts.sparkSession.sparkContext.defaultParallelism
-    pairs_with_texts = pairs_with_texts.repartition(4 * parallelism)
+    # The repartition stays UNCONDITIONAL (unlike the band entrances'
+    # adaptive spread): the pair stream arrives hash-partitioned by its
+    # JOIN KEY (id_b), so one hot document's pairs — whose DP cost all
+    # scales with that document's length — cluster into a single
+    # partition; round-robin is the skew cure, not just a fan-out
+    # (measured at the 8-core probe: skipping it cost ~2 s of straggler
+    # wall).  The WIDTH adapts (scoring_fanout): it used to be a blind
+    # 4x cores, which turned a 4.5k-pair registry query at local[32]
+    # into 128 Python tasks — measured 1.8-9 s of pure task/scheduler
+    # overhead vs 0.75 s at the upstream width.
+    pairs_with_texts = pairs_with_texts.repartition(
+        scoring_fanout(pairs_with_texts)
+    )
     import os
 
     if (

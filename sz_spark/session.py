@@ -103,6 +103,13 @@ def build_session(
         builder = builder.config("spark.local.dir", scratch)
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
+    # Experiment hook: semicolon-separated k=v conf overrides from the
+    # environment (applied last, so they win).  Lets A/B harnesses vary
+    # one knob per fresh-JVM probe without code edits.
+    for kv in os.environ.get("SZ_SPARK_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
