@@ -160,10 +160,20 @@ def mode_stages(cores: int, scale_k: int) -> None:
         salt_up_to=cfg.salt_up_to,
     )
     pairs = stage("pairs", pairs_df)
-    attrs = scoring.attach_prune_attrs(
-        pairs, docs, id_col="did", attrs_frame=feats.select("did", "len", "hist")
-    )
-    pruned = stage("prune", scoring.prune_pairs_arrow(attrs, cfg.threshold))
+    # mirror run_pipeline's two-tier prune (gathered below the broadcast
+    # gates, joins beyond / SZ_NO_GATHER=1)
+    if scoring.gather_gate(feats):
+        prune_bc = scoring.build_prune_broadcast(
+            feats.select("did", "len", "hist")
+        )
+        pruned = stage(
+            "prune", scoring.prune_pairs_gathered(pairs, prune_bc, cfg.threshold)
+        )
+    else:
+        attrs = scoring.attach_prune_attrs(
+            pairs, docs, id_col="did", attrs_frame=feats.select("did", "len", "hist")
+        )
+        pruned = stage("prune", scoring.prune_pairs_arrow(attrs, cfg.threshold))
     with_texts = scoring.attach_texts(pruned, docs, id_col="did")
     scored = stage(
         "score",

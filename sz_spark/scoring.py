@@ -407,6 +407,14 @@ def prune_pairs_gathered(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
+            if hi < 0:
+                # empty feature table: the join path's inner joins drop
+                # every pair — emit nothing
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(0).slice(0, 0), batch.column(1).slice(0, 0)],
+                    ["id_a", "id_b"],
+                )
+                continue
             a = np.asarray(batch.column(0), dtype=np.int64)
             b = np.asarray(batch.column(1), dtype=np.int64)
             ia = np.clip(np.searchsorted(ids, a), 0, hi)
@@ -475,12 +483,17 @@ def score_pairs_gathered(
                 continue
             a = np.asarray(batch.column(0), dtype=np.int64)
             b = np.asarray(batch.column(1), dtype=np.int64)
-            ia = np.clip(np.searchsorted(ids, a), 0, hi)
-            ib = np.clip(np.searchsorted(ids, b), 0, hi)
-            ok = (ids[ia] == a) & (ids[ib] == b)
-            if not ok.all():
-                sel = np.nonzero(ok)[0]
-                a, b, ia, ib = a[sel], b[sel], ia[sel], ib[sel]
+            if hi < 0:
+                # empty doc table: inner-join parity — drop every pair
+                a = b = np.zeros(0, dtype=np.int64)
+                ia = ib = np.zeros(0, dtype=np.int64)
+            else:
+                ia = np.clip(np.searchsorted(ids, a), 0, hi)
+                ib = np.clip(np.searchsorted(ids, b), 0, hi)
+                ok = (ids[ia] == a) & (ids[ib] == b)
+                if not ok.all():
+                    sel = np.nonzero(ok)[0]
+                    a, b, ia, ib = a[sel], b[sel], ia[sel], ib[sel]
             n = len(a)
             out = np.zeros(n, dtype=np.int64)
             if n:
