@@ -121,6 +121,12 @@ def run_pipeline(
 
     id_map = docs.select("did", "conv_id")
 
+    # broadcasts created by _scored(), released (executor blocks) once
+    # the stage is materialized — the checkpoint truncates the lineage,
+    # so nothing re-executes the UDFs that captured them; unpersist
+    # (not destroy) keeps the driver copy as a safety net
+    gather_bcs: list = []
+
     def _scored():
         # Two-tier prune+score (scoring.py "Gathered" block): when the
         # corpus passes the broadcast gates, per-doc attributes and
@@ -133,12 +139,15 @@ def run_pipeline(
             prune_bc = scoring.build_prune_broadcast(
                 feats.select("did", "len", "hist")
             )
+            gather_bcs.append(prune_bc)
             pruned = scoring.prune_pairs_gathered(
                 pairs, prune_bc, cfg.threshold
             )
             import os as _os
 
-            if _os.environ.get("SZ_TEXT_GATHER") == "1":
+            if _os.environ.get("SZ_TEXT_GATHER") == "1" and scoring.text_gather_gate(
+                docs
+            ):
                 # Full-gather twin: also broadcast the text blob and
                 # score join-free.  Measured a wash at the probe (the
                 # ~2 s driver collect+broadcast of the 89 MB corpus
@@ -148,6 +157,7 @@ def run_pipeline(
                 # whose survivor count is large relative to their text
                 # bytes.
                 text_bc = scoring.build_text_broadcast(docs, id_col="did")
+                gather_bcs.append(text_bc)
                 out = scoring.score_pairs_gathered(
                     pruned, text_bc, bounded=cfg.threshold
                 ).select("id_a", "id_b", "edit_distance", "sim")
@@ -185,6 +195,8 @@ def run_pipeline(
         )
 
     scored = ckpt.stage("scored", _scored)
+    for bc in gather_bcs:
+        bc.unpersist()
 
     edges = scored.filter(F.col("sim") >= cfg.threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")

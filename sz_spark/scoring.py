@@ -294,18 +294,33 @@ def prune_pairs_arrow(attrs: DataFrame, threshold: float) -> DataFrame:
 
 def gather_gate(feats: DataFrame) -> bool:
     """True when the corpus is small enough for the broadcast-gather
-    tier (one cheap agg over the — checkpointed — feature table)."""
+    PRUNE tier (one cheap count over the — checkpointed — feature
+    table).  The prune broadcast is 208 B/doc regardless of text size,
+    so only the doc count gates it; the text tier has its own
+    byte-exact gate (:func:`text_gather_gate`)."""
     import os
 
     if os.environ.get("SZ_NO_GATHER") == "1":
         return False
     max_docs = int(os.environ.get("SZ_GATHER_MAX_DOCS", "1000000"))
-    max_chars = int(os.environ.get("SZ_GATHER_MAX_TEXT_MB", "256")) * (1 << 20)
-    cols = feats.columns
-    row = feats.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.col(cols[1])).alias("chars")
+    row = feats.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+    return row["n"] <= max_docs
+
+
+def text_gather_gate(
+    docs: DataFrame, text_col: str = "doc"
+) -> bool:
+    """True when the corpus's UTF-8 BYTES fit the text-broadcast budget
+    (octet_length, not codepoints — a CJK-heavy corpus is up to 4 bytes
+    per char, and the blob must match the documented per-worker memory
+    math)."""
+    import os
+
+    max_bytes = int(os.environ.get("SZ_GATHER_MAX_TEXT_MB", "256")) * (1 << 20)
+    row = docs.agg(
+        F.sum(F.octet_length(F.col(text_col))).alias("b")
     ).collect()[0]
-    return row["n"] <= max_docs and (row["chars"] or 0) <= max_chars
+    return (row["b"] or 0) <= max_bytes
 
 
 def build_prune_broadcast(feats: DataFrame):
@@ -369,18 +384,6 @@ def build_text_broadcast(
             np.diff(toff)[torder],
             blob,
         )
-    )
-
-
-def build_gather_broadcasts(
-    feats: DataFrame,
-    docs: DataFrame,
-    id_col: str = "conv_id",
-    text_col: str = "doc",
-):
-    """(prune_bc, text_bc) — see the two builders above."""
-    return build_prune_broadcast(feats), build_text_broadcast(
-        docs, id_col, text_col
     )
 
 
@@ -549,12 +552,14 @@ def scoring_fanout(df: DataFrame) -> int:
     cost 1.8-9 s vs 0.75 s at the upstream's 32).  Under-partitioned
     inputs (a bare scan) still spread to 4x cores, matching
     udfs.spread_for_python — the optimizer cannot see Python CPU cost.
-    The partition probe is plan-time only; no job runs."""
+    The width probe (udfs.upstream_width) is plan-time only — no job
+    runs (the naive .rdd probe would eagerly execute a shuffle-bearing
+    plan's map stages under AQE and the real query would run them
+    again)."""
+    from sz_spark.udfs import upstream_width
+
     par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_in = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover — never fail the query path
-        n_in = 0
+    n_in = upstream_width(df)
     if n_in < par:
         return 4 * par
     return min(4 * par, n_in)

@@ -173,6 +173,49 @@ def make_sw_udf(substitution=None, gap_open=-1, gap_extend=-1):
 # buffers directly — zero per-row objects, zero copies on ingest.
 
 
+#: logical operators that put an exchange between the source and ``df``
+#: (line-anchored: plan tree lines start with indentation/branch glyphs,
+#: so column aliases in expression lists cannot false-match)
+_SHUFFLE_NODE_RE = None
+
+
+def upstream_width(df) -> int:
+    """Partition count ``df`` will execute with — WITHOUT running jobs.
+
+    The naive probe (``df.rdd.getNumPartitions()``) is only plan-time
+    for exchange-free lineage (scans, checkpoints, map-only chains).
+    Under AQE, converting a plan that CONTAINS exchanges to an RDD
+    materializes its shuffle map stages as real jobs — which the
+    subsequent action then re-executes (a new query execution gets new
+    shuffle ids, so nothing is reused): the probe would silently run
+    most of the query twice.  So shuffle-bearing plans report the
+    session's configured shuffle width instead — which is exactly what
+    their output width will be — and only exchange-free plans use the
+    (job-free) RDD probe.  Returns 0 when nothing can be determined."""
+    import re
+
+    global _SHUFFLE_NODE_RE
+    if _SHUFFLE_NODE_RE is None:
+        _SHUFFLE_NODE_RE = re.compile(
+            r"(?m)^[\s:+-]*(Join|Aggregate|Repartition|"
+            r"RepartitionByExpression|Rebalance|Window|Deduplicate|Sort)\b"
+        )
+    sess = df.sparkSession
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover — internals moved; stay safe
+        plan = None
+    if plan is None or _SHUFFLE_NODE_RE.search(plan):
+        try:
+            return int(sess.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:  # pragma: no cover
+            return 0
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — never fail the query path
+        return 0
+
+
 def spread_for_python(df, target_partitions: int):
     """Round-robin repartition ONLY when ``df`` has fewer partitions
     than the session's parallelism.
@@ -184,14 +227,10 @@ def spread_for_python(df, target_partitions: int):
     when the upstream plan already spread the rows (a groupBy/join
     leaves spark.sql.shuffle.partitions partitions), the extra exchange
     only costs — measured +0.3-1 s of pure task/scheduler overhead per
-    query at bench scale.  The partition probe is plan-time only (no
-    job runs)."""
+    query at bench scale.  The width probe (:func:`upstream_width`) is
+    plan-time only — no job runs."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_in = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover — never fail the query path
-        n_in = 0
-    if n_in < par:
+    if upstream_width(df) < par:
         return df.repartition(target_partitions)
     return df
 

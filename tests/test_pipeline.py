@@ -444,14 +444,21 @@ def test_pipeline_gather_tiers_identical(spark):
 
     cfg = PipelineConfig()
     outs = {}
-    for label, env in (
-        ("gather", {}),
-        ("textgather", {"SZ_TEXT_GATHER": "1"}),
-        ("join", {"SZ_NO_GATHER": "1"}),
-    ):
-        for k, v in env.items():
-            os.environ[k] = v
-        try:
+    knobs = ("SZ_NO_GATHER", "SZ_TEXT_GATHER")
+    saved = {k: os.environ.get(k) for k in knobs}
+    try:
+        for label, env in (
+            ("gather", {}),
+            ("textgather", {"SZ_TEXT_GATHER": "1"}),
+            ("join", {"SZ_NO_GATHER": "1"}),
+        ):
+            # each leg sets EXACTLY its own knobs: a pre-existing
+            # SZ_NO_GATHER=1 in the environment must not silently turn
+            # the gather legs into join-tier runs
+            for k in knobs:
+                os.environ.pop(k, None)
+            for k, v in env.items():
+                os.environ[k] = v
             tr = build_transcripts(spark, SF_DIR)
             stages = run_pipeline(spark, tr, cfg)
             kept = (
@@ -463,9 +470,12 @@ def test_pipeline_gather_tiers_identical(spark):
                 sorted(map(tuple, kept.collect())),
                 sorted(map(tuple, stages["clusters"].collect())),
             )
-        finally:
-            for k in env:
-                del os.environ[k]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     assert outs["gather"][0] == outs["join"][0] == outs["textgather"][0]
     assert outs["gather"][1] == outs["join"][1] == outs["textgather"][1]
     assert len(outs["gather"][0]) > 0
